@@ -1,0 +1,193 @@
+"""Binary min-sum belief propagation on the lifted circulant structure (pure jnp).
+
+Flooding schedule reproduces the numerics of the reference's kernel pair
+(bldpc_实习/LDPC_Decoder.cu:172-315): VN total = channel LLR + sum of incident
+c2v, hard decision ``total < 0``, v2c = total - c2v; CN two-min with sign
+product, writing min2 on the (first) min edge and min1 elsewhere, with NO
+normalization factor by default (opt_R exists only as a commented-out macro,
+define.cuh:36).  ``alpha``/``beta`` expose normalized/offset min-sum on top.
+
+Early termination runs on-device inside ``lax.while_loop`` (the reference copies
+all decisions to the host every iteration, LDPC_Decoder.cu:134-153):
+
+* ``check='syndrome'`` — true parity check H d == 0 (works for any codeword),
+* ``check='zero'``     — decoded message bits all zero, the reference's actual
+  rule (valid only for its all-zero-codeword simulations).
+
+Message tensors are ``[batch, edge, Z]`` with the circulant as ``jnp.roll``
+along the trailing (lane) axis; no gathers/scatters in the hot loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_ldpc_tpu.models.qc_binary import QCBinaryCode
+
+
+class DecodeResult(NamedTuple):
+    hard: jax.Array       # [B, L, Z] int8 hard decisions
+    ok: jax.Array         # [B] bool — early-termination check passed
+    iters: jax.Array      # scalar int32 — iterations executed (batch-global)
+
+
+def _row_stack(code: QCBinaryCode, Q: jax.Array, j: int) -> jax.Array:
+    """Column-aligned edge messages of block-row j -> row-aligned [B, dc, Z]."""
+    edges = code.edges
+    idx = code.row_edges[j]
+    return jnp.stack(
+        [jnp.roll(Q[:, e], -int(edges[e, 2]), axis=-1) for e in idx], axis=1)
+
+
+def _cn_minsum(Qr: jax.Array, alpha: float, beta: float) -> jax.Array:
+    """Two-min + sign-product CN update on row-aligned messages [B, dc, Z]."""
+    dc = Qr.shape[1]
+    sgn = jnp.where(Qr < 0, -1.0, 1.0).astype(Qr.dtype)
+    mag = jnp.abs(Qr)
+    sign_prod = jnp.prod(sgn, axis=1, keepdims=True)
+    min1 = jnp.min(mag, axis=1, keepdims=True)
+    amin = jnp.argmin(mag, axis=1)                       # first min, like sortQ+scan
+    is_min = jax.nn.one_hot(amin, dc, axis=1, dtype=bool)
+    big = jnp.asarray(jnp.finfo(Qr.dtype).max, Qr.dtype)
+    min2 = jnp.min(jnp.where(is_min, big, mag), axis=1, keepdims=True)
+    out = jnp.where(is_min, min2, min1)
+    if beta:
+        out = jnp.maximum(out - jnp.asarray(beta, Qr.dtype), 0)
+    if alpha != 1.0:
+        out = out * jnp.asarray(alpha, Qr.dtype)
+    return sign_prod * sgn * out
+
+
+def _vn_update(code: QCBinaryCode, chan: jax.Array, R: jax.Array):
+    """VN phase: totals per column, hard decisions, v2c messages (column-aligned)."""
+    totals = []
+    for l in range(code.L):
+        t = chan[:, l]
+        for e in code.col_edges[l]:
+            t = t + R[:, e]
+        totals.append(t)
+    total = jnp.stack(totals, axis=1)                    # [B, L, Z]
+    hard = total < 0
+    edge_l = code.edges[:, 1]
+    Q = total[:, edge_l, :] - R                          # v2c, column-aligned
+    return total, hard, Q
+
+
+def syndrome_ok(code: QCBinaryCode, hard: jax.Array) -> jax.Array:
+    """True parity check per frame: all CN parities zero. hard: [B, L, Z] bool."""
+    oks = []
+    for j in range(code.J):
+        par = None
+        for e in code.row_edges[j]:
+            l, s = int(code.edges[e, 1]), int(code.edges[e, 2])
+            contrib = jnp.roll(hard[:, l], -s, axis=-1)
+            par = contrib if par is None else par ^ contrib
+        oks.append(~jnp.any(par, axis=-1))
+    return functools.reduce(jnp.logical_and, oks)
+
+
+def zero_ok(code: QCBinaryCode, hard: jax.Array, message_only: bool = True) -> jax.Array:
+    """The reference's check: decoded (message) bits sum to zero
+    (LDPC_Decoder.cu:137-153 with Message_CW selecting msgLen vs CW_Len)."""
+    ncols = code.L - code.J if message_only else code.L
+    return ~jnp.any(hard[:, :ncols], axis=(1, 2))
+
+
+def _check(code, hard, check: str):
+    if check == "syndrome":
+        return syndrome_ok(code, hard)
+    if check == "zero":
+        return zero_ok(code, hard)
+    if check == "none":
+        return jnp.zeros(hard.shape[0], dtype=bool)
+    raise ValueError(f"unknown check mode {check!r}")
+
+
+def decode_flooding(chan: jax.Array, code: QCBinaryCode, num_iters: int,
+                    alpha: float = 1.0, beta: float = 0.0,
+                    check: str = "syndrome", early_stop: bool = True,
+                    msg_dtype=None) -> DecodeResult:
+    """Flooding min-sum decode. chan: [B, L, Z] channel LLRs (AWGN output works
+    directly: only relative magnitudes matter, matching the reference which feeds
+    raw channel samples, LDPC_Decoder.cu:203)."""
+    B = chan.shape[0]
+    dtype = msg_dtype or chan.dtype
+    chan = chan.astype(dtype)
+    E = code.num_edges
+
+    def one_iter(R):
+        _, hard, Q = _vn_update(code, chan, R)
+        newR = [None] * E
+        for j in range(code.J):
+            Rr = _cn_minsum(_row_stack(code, Q, j), alpha, beta)
+            for i, e in enumerate(code.row_edges[j]):
+                newR[e] = jnp.roll(Rr[:, i], int(code.edges[e, 2]), axis=-1)
+        return jnp.stack(newR, axis=1), hard
+
+    def body(state):
+        it, R, _, _ = state
+        R, hard = one_iter(R)
+        ok = _check(code, hard, check)
+        return it + 1, R, hard, ok
+
+    def cond(state):
+        it, _, _, ok = state
+        not_done = ~jnp.all(ok) if early_stop else jnp.array(True)
+        return jnp.logical_and(it < num_iters, not_done)
+
+    R0 = jnp.zeros((B, E, code.Z), dtype=dtype)
+    hard0 = jnp.zeros((B, code.L, code.Z), dtype=bool)
+    ok0 = jnp.zeros((B,), dtype=bool)
+    it, _, hard, ok = jax.lax.while_loop(cond, body, (jnp.int32(0), R0, hard0, ok0))
+    return DecodeResult(hard.astype(jnp.int8), ok, it)
+
+
+def decode_layered(chan: jax.Array, code: QCBinaryCode, num_iters: int,
+                   alpha: float = 1.0, beta: float = 0.0,
+                   check: str = "syndrome", early_stop: bool = True,
+                   msg_dtype=None) -> DecodeResult:
+    """Row-layered min-sum: each block-row's CN update is applied to the running
+    LLR totals immediately, converging in roughly half the iterations.  The
+    binary reference only ships flooding; this is the layered schedule named in
+    the BASELINE configs (and mirrors the NB layered-TMM idea,
+    myNBLDPC/src/LDPC_Decoder.cpp:544-702)."""
+    B = chan.shape[0]
+    dtype = msg_dtype or chan.dtype
+    chan = chan.astype(dtype)
+    E = code.num_edges
+
+    def body(state):
+        it, total, R, _, _ = state
+        newR = list(jnp.moveaxis(R, 1, 0))
+        for j in range(code.J):
+            idx = code.row_edges[j]
+            shifts = [int(code.edges[e, 2]) for e in idx]
+            Qr = jnp.stack(
+                [jnp.roll(total[:, int(code.edges[e, 1])] - newR[e], -s, axis=-1)
+                 for e, s in zip(idx, shifts)], axis=1)
+            Rr = _cn_minsum(Qr, alpha, beta)
+            for i, (e, s) in enumerate(zip(idx, shifts)):
+                new_col = jnp.roll(Rr[:, i], s, axis=-1)
+                l = int(code.edges[e, 1])
+                total = total.at[:, l].add(new_col - newR[e])
+                newR[e] = new_col
+        hard = total < 0
+        ok = _check(code, hard, check)
+        return it + 1, total, jnp.stack(newR, axis=1), hard, ok
+
+    def cond(state):
+        it, _, _, _, ok = state
+        not_done = ~jnp.all(ok) if early_stop else jnp.array(True)
+        return jnp.logical_and(it < num_iters, not_done)
+
+    R0 = jnp.zeros((B, E, code.Z), dtype=dtype)
+    hard0 = jnp.zeros((B, code.L, code.Z), dtype=bool)
+    ok0 = jnp.zeros((B,), dtype=bool)
+    state = (jnp.int32(0), chan, R0, hard0, ok0)
+    it, _, _, hard, ok = jax.lax.while_loop(cond, body, state)
+    return DecodeResult(hard.astype(jnp.int8), ok, it)
