@@ -1,0 +1,481 @@
+"""Non-binary GF(q) LDPC decoders: EMS, full-EMS (log-QSPA mode), TMM, layered
+TMM — pure jittable functions over dense padded graph tensors.
+
+Numerics reproduce the CPU reference decoders (myNBLDPC/src/LDPC_Decoder.cpp):
+
+* EMS (Decoding_EMS, :172-317): flooding Extended Min-Sum with configuration
+  sets conf(q,1) + conf(Nm,Nc) and the load-bearing /1.2 output scaling (:309).
+* full-EMS (decoder_method=2, Simulation.cpp:64): EMS with Nm=q, Nc=dc-1 — the
+  unrestricted configuration max, here computed exactly as a forward/backward
+  max-convolution over the GF(q) group instead of exponential enumeration.
+* TMM (Decoding_TMM, :361-542): Trellis Min-Max in the delta domain with 1- and
+  2-deviation paths and the x0.8 damping (:519).  Note the reference's flooding
+  TMM *accumulates* c2v into the LLR total across iterations without resetting
+  to L_ch (:431; there is no memcpy like EMS's :204) — we preserve that.
+* layered TMM (Decoding_layered_TMM, :544-702): identical CN math on a serial
+  row schedule with immediate LLR write-back.
+
+TPU-first reformulation (not a port): the reference sorts every edge's full
+q-vector with bubble sort and recursively enumerates configuration sets
+(ConstructConf, :319-359).  Here each CN works in the *delta domain*: per-edge
+offset messages W[d][y] = U[d][y ^ best] - best_val (a gather along the q lane
+axis; GF addition is plain XOR so index arithmetic is `arange(q) ^ shift`),
+a max1/max2 reduction across edges replaces conf(q,1), and a static unroll over
+slot pairs replaces conf(Nm,Nc).  No sorting, no recursion, no scatter in the
+hot loop; everything is [batch, M, dc, q] tensor ops on the trailing lane axis.
+
+Early termination runs on-device in ``lax.while_loop`` with per-frame freezing
+(the reference copies decisions to the host every iteration).  Iteration
+counting matches the reference: a frame whose syndrome passes at entry of pass
+t reports t iterations (the reference's ``iter_number--`` on success, :236).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_ldpc_tpu.models.nb_code import NBCode
+
+NEG = -1e30   # finite -inf stand-in (avoids inf-inf NaNs under masking)
+POS = 1e30
+
+
+class NBDecodeResult(NamedTuple):
+    hard: jax.Array    # [B, N] int32 hard symbol decisions
+    ok: jax.Array      # [B] bool — GF syndrome == 0
+    iters: jax.Array   # [B] int32 — iterations used (reference counting)
+
+
+class _Graph(NamedTuple):
+    """Static numpy graph tensors (jit constants)."""
+    q: int
+    N: int
+    M: int
+    dv: int
+    dc: int
+    vn_gather: np.ndarray   # [N, dv] flat index into the [M*dc] CN-edge axis
+    vn_mask: np.ndarray     # [N, dv] bool
+    cn_links: np.ndarray    # [M, dc] VN index
+    cn_mask: np.ndarray     # [M, dc] bool
+    h_perm: np.ndarray      # [M, dc, q]: k -> h*k  (all-0 rows on masked edges)
+    hinv_perm: np.ndarray   # [M, dc, q]: v -> h^-1 * v
+    xor_table: np.ndarray   # [q, q]
+
+
+def build_graph(code: NBCode) -> _Graph:
+    mul = code.mul_table
+    inv = code.inv_table
+    h = code.cn_gf                              # [M, dc]
+    vn_gather = code.vn_links * code.max_dc + code.vn_slot
+    return _Graph(q=code.q, N=code.n_sym, M=code.m_sym, dv=code.max_dv,
+                  dc=code.max_dc, vn_gather=vn_gather, vn_mask=code.vn_mask,
+                  cn_links=code.cn_links, cn_mask=code.cn_mask,
+                  h_perm=mul[h].astype(np.int32),
+                  hinv_perm=mul[inv[h]].astype(np.int32),
+                  xor_table=code.xor_table.astype(np.int32))
+
+
+# --------------------------------------------------------------------------
+# shared phases
+# --------------------------------------------------------------------------
+
+def _gather_c2v_vn(g: _Graph, c2v_cn: jax.Array) -> jax.Array:
+    """CN-aligned c2v [B, M, dc, q] -> VN-aligned [B, N, dv, q] (masked)."""
+    B = c2v_cn.shape[0]
+    flat = c2v_cn.reshape(B, g.M * g.dc, g.q)
+    out = flat[:, g.vn_gather]                  # [B, N, dv, q]
+    return jnp.where(jnp.asarray(g.vn_mask)[None, :, :, None], out, 0.0)
+
+
+def _syndrome_ok(g: _Graph, hard: jax.Array) -> jax.Array:
+    """True GF syndrome check per frame: all rows have sum h_i * x_i == 0
+    (myNBLDPC/src/LDPC_Decoder.cpp:218-238).  hard: [B, N] int32."""
+    hard_cn = hard[:, g.cn_links]               # [B, M, dc]
+    perm = jnp.asarray(g.h_perm)                # [M, dc, q]; masked rows all 0
+    contrib = jnp.take_along_axis(
+        jnp.broadcast_to(perm[None], hard_cn.shape + (g.q,)),
+        hard_cn[..., None], axis=-1)[..., 0]    # [B, M, dc]
+    syn = contrib[:, :, 0]
+    for d in range(1, g.dc):
+        syn = jnp.bitwise_xor(syn, contrib[:, :, d])
+    return jnp.all(syn == 0, axis=1)
+
+
+def _cn_domain(v2c_cn, hinv_perm, maskq, pad):
+    """VN-symbol-indexed messages -> CN-domain U[d][v] = msg[d][h^-1 v]."""
+    perm = jnp.broadcast_to(hinv_perm, v2c_cn.shape)
+    U = jnp.take_along_axis(v2c_cn, perm, axis=-1)
+    return jnp.where(maskq, U, pad)
+
+
+def _xor_shift(x: jax.Array, s: jax.Array) -> jax.Array:
+    """x[..., y] -> x[..., y ^ s] along the trailing q axis (GF add == XOR)."""
+    q = x.shape[-1]
+    idx = jnp.bitwise_xor(jnp.arange(q, dtype=jnp.int32), s[..., None])
+    return jnp.take_along_axis(x, idx, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# EMS check-node core (conf(q,1) + conf(Nm,Nc)) in the delta domain
+# --------------------------------------------------------------------------
+
+def _ems_cn_core(v2c_cn, mask, h_perm, hinv_perm, nm: int, nc: int, dc: int,
+                 q: int):
+    """One EMS CN update.  v2c_cn: [B, M', dc, q] VN-symbol-domain messages
+    (L[0]=0 convention); mask [M', dc] bool; h_perm/hinv_perm [M', dc, q].
+    Returns new c2v, same shape/domain, already /1.2.
+
+    Equivalence to the reference's ConstructConf enumeration (LDPC_Decoder.cpp:
+    272-311, 319-359): every configuration's LLR is sum0 + (deviation deltas)
+    and its GF value is g0 ^ (deviation offsets), where sum0/g0 are the
+    all-best-slot baseline excluding the output edge.  The baseline terms
+    cancel in the normalized output (EMS_L_c2v[v] - EMS_L_c2v[0]), so only the
+    delta profile D[y] = best config value at offset y is needed:
+      conf(q,1)  -> per-edge delta message W[d][y], max1/max2 across edges
+                    (exclude-own-edge via the argmax column trick),
+      conf(Nm,2) -> static unroll over edge pairs at their top-(Nm-1)
+                    non-best slots.
+    Output: c2v[k] = (D[h*k ^ g0] - D[g0]) / 1.2 with g0 the baseline GF value
+    excluding the output edge."""
+    maskq = mask[None, :, :, None]
+    U = _cn_domain(v2c_cn, hinv_perm[None], maskq, NEG)  # [B, M', dc, q]
+    c0 = jnp.argmax(U, axis=-1).astype(jnp.int32)        # [B, M', dc]
+    v0 = jnp.max(U, axis=-1)
+    W = _xor_shift(U, c0) - v0[..., None]
+    W = jnp.where(maskq, W, NEG)
+
+    # conf(q,1): best / second-best single deviation across edges, per offset y
+    m1 = jnp.max(W, axis=2)                              # [B, M', q]
+    am = jnp.argmax(W, axis=2)
+    excl = jax.nn.one_hot(am, dc, axis=2, dtype=bool)    # [B, M', dc, q]
+    m2 = jnp.max(jnp.where(excl, NEG, W), axis=2)
+    douts = jnp.arange(dc, dtype=am.dtype)[None, None, :, None]
+    D = jnp.where(am[:, :, None, :] == douts, m2[:, :, None, :],
+                  m1[:, :, None, :])                     # [B, M', dc_out, q]
+
+    # conf(Nm, Nc=2): pairs of deviating edges at their top-(Nm-1) other slots
+    if nc >= 2 and nm >= 2 and dc >= 3:
+        W0 = jnp.where(jnp.arange(q) == 0, NEG, W)       # forbid the 0 offset
+        if nm - 1 == 1:
+            P = jnp.max(W0, axis=-1, keepdims=True)      # [B, M', dc, 1]
+            O = jnp.argmax(W0, axis=-1, keepdims=True).astype(jnp.int32)
+        else:
+            P, O = jax.lax.top_k(W0, nm - 1)
+            O = O.astype(jnp.int32)
+        yy = jnp.arange(q, dtype=jnp.int32)
+        for a in range(dc):
+            for b in range(a + 1, dc):
+                ok_out = np.array([d != a and d != b for d in range(dc)])
+                sel = jnp.asarray(ok_out)[None, None, :, None]
+                for ka in range(nm - 1):
+                    for kb in range(nm - 1):
+                        val = P[:, :, a, ka] + P[:, :, b, kb]     # [B, M']
+                        off = jnp.bitwise_xor(O[:, :, a, ka], O[:, :, b, kb])
+                        upd = jnp.where(off[..., None] == yy, val[..., None],
+                                        NEG)[:, :, None, :]       # [B, M', 1, q]
+                        D = jnp.where(sel, jnp.maximum(D, upd), D)
+    elif nc not in (1, 2):
+        raise NotImplementedError(
+            "EMS supports Nc in {1, 2} or the full mode (method='ems_full'); "
+            f"got Nc={nc}")
+
+    # baseline GF value excluding the output edge: g0 = (xor of all c0) ^ c0[dout]
+    c0m = jnp.where(mask[None], c0, 0)
+    call = c0m[:, :, 0]
+    for d in range(1, dc):
+        call = jnp.bitwise_xor(call, c0m[:, :, d])
+    g0 = jnp.bitwise_xor(call[:, :, None], c0m)          # [B, M', dc]
+
+    hp = jnp.broadcast_to(h_perm[None], D.shape)
+    idx = jnp.bitwise_xor(hp, g0[..., None])
+    Dg = jnp.take_along_axis(D, idx, axis=-1)
+    D0 = jnp.take_along_axis(D, g0[..., None], axis=-1)
+    c2v = (Dg - D0) * (1.0 / 1.2)
+    return jnp.where(maskq, c2v, 0.0)
+
+
+def _maxconv(A: jax.Array, Bm: jax.Array, xor_table: jax.Array) -> jax.Array:
+    """(max,+) convolution over the XOR group: out[x] = max_u A[u] + B[u^x]."""
+    Bg = jnp.take(Bm, xor_table, axis=-1)                # [..., u, x]
+    return jnp.max(A[..., :, None] + Bg, axis=-2)
+
+
+def _ems_full_cn_core(v2c_cn, mask, h_perm, hinv_perm, xor_table, dc: int,
+                      q: int):
+    """Full-configuration EMS (the reference's decoder_method=2: Nm=q,
+    Nc=dc-1, Simulation.cpp:64) via exclusive forward/backward max-convolution
+    products — mathematically identical to the unrestricted ConstructConf
+    enumeration, polynomial instead of exponential."""
+    maskq = mask[None, :, :, None]
+    U = _cn_domain(v2c_cn, hinv_perm[None], maskq, NEG)
+    ident = jnp.where(jnp.arange(q) == 0, 0.0, NEG)      # max-conv identity
+    U = jnp.where(maskq, U, ident)
+    fwd = [jnp.broadcast_to(ident, U[:, :, 0].shape)]
+    for d in range(dc - 1):
+        fwd.append(_maxconv(fwd[-1], U[:, :, d], xor_table))
+    bwd = [jnp.broadcast_to(ident, U[:, :, 0].shape)]
+    for d in range(dc - 1, 0, -1):
+        bwd.append(_maxconv(bwd[-1], U[:, :, d], xor_table))
+    bwd = bwd[::-1]
+    excl = jnp.stack([_maxconv(fwd[d], bwd[d], xor_table) for d in range(dc)],
+                     axis=2)                             # [B, M', dc, q]
+    hp = jnp.broadcast_to(h_perm[None], excl.shape)
+    Eg = jnp.take_along_axis(excl, hp, axis=-1)
+    c2v = (Eg - excl[..., 0:1]) * (1.0 / 1.2)
+    return jnp.where(maskq, c2v, 0.0)
+
+
+# --------------------------------------------------------------------------
+# TMM check-node core (min domain)
+# --------------------------------------------------------------------------
+
+def _tmm_cn_core(v2c_cn, mask, h_perm, hinv_perm, xor_table, dc: int, q: int):
+    """One TMM CN update on min-domain messages [B, M', dc, q] (VN symbol
+    domain).  Mirrors d_TMM_Get_Zn / Get_deltaU / Get_Min / ConstructConf and
+    the I/E path-select output with x0.8 damping
+    (myNBLDPC/src/LDPC_Decoder.cpp:488-521, 704-817)."""
+    maskq = mask[None, :, :, None]
+    maskd = mask[None]
+    v2c = jnp.where(maskq, v2c_cn, POS)
+    # Zn: per-edge argmin in VN-domain scan order (ties -> lowest symbol, like
+    # the reference's strict-< scan, :711-718), mapped through h to CN domain
+    qmin = jnp.argmin(v2c, axis=-1).astype(jnp.int32)    # [B, M', dc]
+    vmin = jnp.min(v2c, axis=-1)
+    hp = h_perm[None]
+    Zn = jnp.take_along_axis(jnp.broadcast_to(hp, v2c.shape),
+                             qmin[..., None], axis=-1)[..., 0]
+    Zn = jnp.where(maskd, Zn, 0)
+    syn = Zn[:, :, 0]
+    for d in range(1, dc):
+        syn = jnp.bitwise_xor(syn, Zn[:, :, d])          # [B, M']
+
+    # delta domain: dU[d][eta] = U[eta ^ Zn[d]] - min   (:725-743)
+    U = _cn_domain(v2c_cn, hinv_perm[None], maskq, POS)
+    dU = _xor_shift(U, Zn) - vmin[..., None]
+    dU = jnp.where(maskq, dU, POS)
+
+    # per-eta min1/min2 and min1 column across edges (:745-770)
+    min1 = jnp.min(dU, axis=2)                           # [B, M', q]
+    col = jnp.argmin(dU, axis=2).astype(jnp.int32)
+    excl = jax.nn.one_hot(col, dc, axis=2, dtype=bool)
+    min2 = jnp.min(jnp.where(excl, POS, dU), axis=2)
+
+    # 2-deviation search over (j, k=i^j): cand = max(min1[j], min1[k]), valid
+    # when the two min columns differ and the values differ (the reference's
+    # strict-inequality branches skip exact ties, :793-811)
+    m1j = min1[:, :, None, :]                            # [B, M', 1, q(j)]
+    m1k = jnp.take(min1, xor_table, axis=-1)             # [B, M', q(i), q(j)]
+    cj = col[:, :, None, :]
+    ck = jnp.take(col, xor_table, axis=-1)
+    ii = jnp.arange(q, dtype=jnp.int32)[:, None]
+    jj = jnp.arange(q, dtype=jnp.int32)[None, :]
+    valid = (cj != ck) & (m1j != m1k) & (ii != jj)[None, None]
+    cand = jnp.where(valid, jnp.maximum(m1j, m1k), POS)
+    I2 = jnp.min(cand, axis=-1)                          # [B, M', q(i)]
+    jstar = jnp.argmin(cand, axis=-1).astype(jnp.int32)
+    kstar = jnp.bitwise_xor(jnp.arange(q, dtype=jnp.int32), jstar)
+    p1_2 = jnp.take_along_axis(col, jstar, axis=-1)
+    p2_2 = jnp.take_along_axis(col, kstar, axis=-1)
+
+    use2 = I2 < min1
+    I = jnp.where(use2, I2, min1)
+    E = jnp.where(use2, min1, min2)
+    p1 = jnp.where(use2, p1_2, col)
+    p2 = jnp.where(use2, p2_2, col)
+
+    # output: Lc2p[eta] = E if dout on the path else I; eta=0 forced to 0;
+    # c2v[dout][v] = 0.8 * Lc2p[h*v ^ syn ^ Zn[dout]]   (:496-521)
+    douts = jnp.arange(dc, dtype=jnp.int32)[None, None, :, None]
+    on_path = (douts == p1[:, :, None, :]) | (douts == p2[:, :, None, :])
+    Lc2p = jnp.where(on_path, E[:, :, None, :], I[:, :, None, :])
+    Lc2p = jnp.where(jnp.arange(q) == 0, 0.0, Lc2p)      # [B, M', dc, q(eta)]
+    beta_syn = jnp.bitwise_xor(syn[:, :, None], Zn)      # [B, M', dc]
+    idx = jnp.bitwise_xor(jnp.broadcast_to(hp, Lc2p.shape),
+                          beta_syn[..., None])
+    c2v = 0.8 * jnp.take_along_axis(Lc2p, idx, axis=-1)
+    return jnp.where(maskq, c2v, 0.0)
+
+
+# --------------------------------------------------------------------------
+# decoders
+# --------------------------------------------------------------------------
+
+def _freeze(active, new, old):
+    """Per-frame select along the batch axis (active: [B])."""
+    a = active.reshape(active.shape + (1,) * (new.ndim - 1))
+    return jnp.where(a, new, old)
+
+
+def _run(g: _Graph, B: int, max_iters: int, early_stop: bool, carry0,
+         step_fn, decide_fn):
+    """While-loop driver with the reference's iteration accounting: each pass
+    decides from the current state, checks the syndrome, then (for frames
+    still active) runs one CN-update phase."""
+
+    def body(state):
+        t, carry, hard, ok, iters = state
+        hard_new, llr = decide_fn(carry)
+        ok_new = _syndrome_ok(g, hard_new)
+        active = ~ok
+        hard = _freeze(active, hard_new, hard)
+        ok2 = jnp.where(active, ok_new, ok)
+        iters = jnp.where(active & ok_new, t,
+                          jnp.where(active, t + 1, iters))
+        cont = active & ~ok_new
+        carry = step_fn(carry, llr, cont)
+        return t + 1, carry, hard, ok2, iters
+
+    def cond(state):
+        t, _, _, ok, _ = state
+        not_done = ~jnp.all(ok) if early_stop else jnp.array(True)
+        return jnp.logical_and(t < max_iters, not_done)
+
+    hard0 = jnp.zeros((B, g.N), dtype=jnp.int32)
+    ok0 = jnp.zeros((B,), dtype=bool)
+    it0 = jnp.zeros((B,), dtype=jnp.int32)
+    state = (jnp.int32(0), carry0, hard0, ok0, it0)
+    _, _, hard, ok, iters = jax.lax.while_loop(cond, body, state)
+    return NBDecodeResult(hard, ok, iters)
+
+
+def decode_ems(L_ch: jax.Array, code: NBCode, max_iters: int, nm: int = 2,
+               nc: int = 2, full: bool = False,
+               early_stop: bool = True) -> NBDecodeResult:
+    """Flooding EMS decode.  L_ch: [B, N, q] symbol LLRs (log P(s)/P(0),
+    L[...,0]=0).  ``full=True`` is the reference's decoder_method=2."""
+    g = build_graph(code)
+    B = L_ch.shape[0]
+    L_ch = L_ch.astype(jnp.float32)
+    mask = jnp.asarray(g.cn_mask)
+    h_perm = jnp.asarray(g.h_perm)
+    hinv_perm = jnp.asarray(g.hinv_perm)
+    xor_table = jnp.asarray(g.xor_table)
+
+    def decide(c2v_cn):
+        llr = L_ch + jnp.sum(_gather_c2v_vn(g, c2v_cn), axis=2)
+        # argmax with 0 fallback == plain argmax, since L[0] = 0 exactly
+        # (DecideLLRVector, LDPC_Decoder.cpp:71-91)
+        return jnp.argmax(llr, axis=-1).astype(jnp.int32), llr
+
+    def step(c2v_cn, llr, cont):
+        v2c = llr[:, g.cn_links] - c2v_cn                # [B, M, dc, q]
+        if full:
+            new = _ems_full_cn_core(v2c, mask, h_perm, hinv_perm, xor_table,
+                                    g.dc, g.q)
+        else:
+            new = _ems_cn_core(v2c, mask, h_perm, hinv_perm, nm, nc, g.dc, g.q)
+        return _freeze(cont, new, c2v_cn)
+
+    c2v0 = jnp.zeros((B, g.M, g.dc, g.q), dtype=jnp.float32)
+    return _run(g, B, max_iters, early_stop, c2v0, step, decide)
+
+
+def to_min_domain(L_ch: jax.Array) -> jax.Array:
+    """Positive-LLR domain -> TMM min domain: m - L with m = max over nonzero
+    symbols only (Decoding_TMM init, LDPC_Decoder.cpp:364-390; symbol 0 gets
+    value m, possibly negative, exactly like the reference)."""
+    m = jnp.max(L_ch[..., 1:], axis=-1, keepdims=True)
+    return m - L_ch
+
+
+def decode_tmm(L_ch: jax.Array, code: NBCode, max_iters: int,
+               early_stop: bool = True) -> NBDecodeResult:
+    """Flooding TMM decode.  L_ch: [B, N, q] positive-domain symbol LLRs
+    (converted internally).  Preserves the reference's accumulating LLR total
+    (no reset to L_ch between iterations, LDPC_Decoder.cpp:425-435)."""
+    g = build_graph(code)
+    B = L_ch.shape[0]
+    Lmin = to_min_domain(L_ch.astype(jnp.float32))
+    mask = jnp.asarray(g.cn_mask)
+    h_perm = jnp.asarray(g.h_perm)
+    hinv_perm = jnp.asarray(g.hinv_perm)
+    xor_table = jnp.asarray(g.xor_table)
+
+    def decide(carry):
+        llr_state, c2v_cn = carry
+        llr = llr_state + jnp.sum(_gather_c2v_vn(g, c2v_cn), axis=2)
+        return jnp.argmin(llr, axis=-1).astype(jnp.int32), llr
+
+    def step(carry, llr, cont):
+        llr_state, c2v_cn = carry
+        v2c = llr[:, g.cn_links] - c2v_cn
+        new = _tmm_cn_core(v2c, mask, h_perm, hinv_perm, xor_table, g.dc, g.q)
+        return (_freeze(cont, llr, llr_state), _freeze(cont, new, c2v_cn))
+
+    c2v0 = jnp.zeros((B, g.M, g.dc, g.q), dtype=jnp.float32)
+    return _run(g, B, max_iters, early_stop, (Lmin, c2v0), step, decide)
+
+
+def decode_layered_tmm(L_ch: jax.Array, code: NBCode, max_iters: int,
+                       early_stop: bool = True) -> NBDecodeResult:
+    """Row-layered TMM: serial sweep over CN rows, each row's update written
+    back to the LLR total immediately (Decoding_layered_TMM,
+    LDPC_Decoder.cpp:544-702).  The decision+syndrome run at the top of each
+    sweep from the current totals, before any row of that sweep (:603-605)."""
+    g = build_graph(code)
+    B = L_ch.shape[0]
+    Lmin = to_min_domain(L_ch.astype(jnp.float32))
+    cn_links_j = jnp.asarray(g.cn_links)
+    mask_j = jnp.asarray(g.cn_mask)
+    h_perm_j = jnp.asarray(g.h_perm)
+    hinv_perm_j = jnp.asarray(g.hinv_perm)
+    xor_table = jnp.asarray(g.xor_table)
+
+    def decide(carry):
+        llr, _ = carry
+        return jnp.argmin(llr, axis=-1).astype(jnp.int32), llr
+
+    def step(carry, llr_unused, cont):
+        llr0, c2v0 = carry
+
+        def row_body(m, lc):
+            llr, c2v = lc
+            links = jax.lax.dynamic_index_in_dim(cn_links_j, m, keepdims=False)
+            rmask = jax.lax.dynamic_index_in_dim(mask_j, m)          # [1, dc]
+            rh = jax.lax.dynamic_index_in_dim(h_perm_j, m)           # [1, dc, q]
+            rhi = jax.lax.dynamic_index_in_dim(hinv_perm_j, m)
+            llr_row = llr[:, links]                                  # [B, dc, q]
+            v2c = llr_row - c2v[:, m]
+            new = _tmm_cn_core(v2c[:, None], rmask, rh, rhi, xor_table,
+                               g.dc, g.q)[:, 0]                      # [B, dc, q]
+            # scatter-add a masked delta: pad edges (links pointing at VN 0)
+            # contribute 0, so duplicate indices stay well-defined
+            delta = jnp.where(rmask[0][None, :, None], v2c + new - llr_row, 0.0)
+            llr = llr.at[:, links].add(delta)
+            c2v = jax.lax.dynamic_update_index_in_dim(c2v, new, m, axis=1)
+            return llr, c2v
+
+        llr1, c2v1 = jax.lax.fori_loop(0, g.M, row_body, (llr0, c2v0))
+        return (_freeze(cont, llr1, llr0), _freeze(cont, c2v1, c2v0))
+
+    c2v0 = jnp.zeros((B, g.M, g.dc, g.q), dtype=jnp.float32)
+    return _run(g, B, max_iters, early_stop, (Lmin, c2v0), step, decide)
+
+
+def make_decoder(code: NBCode, method: str = "ems", max_iters: int = 20,
+                 nm: int = 2, nc: int = 2, early_stop: bool = True):
+    """Build a jitted ``decode(L_ch) -> NBDecodeResult`` for a code.
+
+    ``method``: 'ems' | 'ems_full' | 'tmm' | 'layered_tmm' — the reference's
+    decoder_method 0 | 2 | 1 | 3 (myNBLDPC/include/define.h:37,
+    Simulation.cpp:56-69)."""
+    if method == "ems":
+        fn = functools.partial(decode_ems, code=code, max_iters=max_iters,
+                               nm=nm, nc=nc, early_stop=early_stop)
+    elif method == "ems_full":
+        fn = functools.partial(decode_ems, code=code, max_iters=max_iters,
+                               full=True, early_stop=early_stop)
+    elif method == "tmm":
+        fn = functools.partial(decode_tmm, code=code, max_iters=max_iters,
+                               early_stop=early_stop)
+    elif method == "layered_tmm":
+        fn = functools.partial(decode_layered_tmm, code=code,
+                               max_iters=max_iters, early_stop=early_stop)
+    else:
+        raise ValueError(f"unknown NB decoder method {method!r}")
+    return jax.jit(fn)
