@@ -1,0 +1,72 @@
+"""Headline benchmark: decoded info Mb/s per chip, binary QC-LDPC
+J15_L30_Z1280 (n=38400, k=19200), flooding min-sum, 10 fixed iterations
+(BASELINE.json north star; baseline target 1000 Mb/s per chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mb/s", "vs_baseline": N/1000}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_MBPS = 1000.0
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_ldpc_tpu import QCBinaryCode
+    from cuda_ldpc_tpu.ops import minsum
+
+    code = QCBinaryCode.from_registry(os.environ.get("BENCH_CODE",
+                                                     "J15_L30_Z1280"))
+    platform = jax.devices()[0].platform
+    B = int(os.environ.get("BENCH_BATCH", "256" if platform != "cpu" else "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE",
+                                           "bfloat16") == "bfloat16" else jnp.float32
+
+    kernel = os.environ.get("BENCH_KERNEL", "auto")
+    decode = minsum.make_flooding_fn(code, iters, check="zero",
+                                     early_stop=False, msg_dtype=dtype,
+                                     kernel=kernel)
+
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    chans = [1.0 + 0.6 * jax.random.normal(jax.random.PRNGKey(i),
+                                           (B, code.L, code.Z),
+                                           dtype=jnp.float32)
+             for i in range(reps)]
+    import numpy as np
+
+    # warm up / compile.  NOTE: completion is forced by fetching the tiny
+    # per-frame ok vector to host — block_until_ready alone does not reliably
+    # fence execution through the axon remote-TPU relay.
+    res = decode(chans[0])
+    np.asarray(res.ok)
+
+    times = []
+    for chan in chans:
+        t0 = time.perf_counter()
+        res = decode(chan)
+        np.asarray(res.ok)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    info_bits = B * code.k
+    mbps = info_bits / dt / 1e6
+    print(json.dumps({
+        "metric": "binary_minsum_info_throughput_per_chip",
+        "value": round(mbps, 2),
+        "unit": "Mb/s",
+        "vs_baseline": round(mbps / BASELINE_MBPS, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

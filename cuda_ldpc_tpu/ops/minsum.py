@@ -147,6 +147,29 @@ def decode_flooding(chan: jax.Array, code: QCBinaryCode, num_iters: int,
     return DecodeResult(hard.astype(jnp.int8), ok, it)
 
 
+def make_flooding_fn(code: QCBinaryCode, num_iters: int, alpha: float = 1.0,
+                     beta: float = 0.0, check: str = "syndrome",
+                     early_stop: bool = True, msg_dtype=None,
+                     kernel: str = "auto"):
+    """Jitted flooding decoder factory.  ``kernel``: 'jnp' forces the pure-jnp
+    path; 'pallas' the fused Pallas kernels (TPU only); 'auto' picks pallas on
+    TPU when available."""
+    if kernel == "pallas" or (kernel == "auto"
+                              and jax.default_backend() == "tpu"):
+        try:
+            from cuda_ldpc_tpu.ops import pallas_minsum
+            return jax.jit(functools.partial(
+                pallas_minsum.decode_flooding, code=code, num_iters=num_iters,
+                alpha=alpha, beta=beta, check=check, early_stop=early_stop,
+                msg_dtype=msg_dtype))
+        except ImportError:
+            if kernel == "pallas":
+                raise
+    return jax.jit(functools.partial(
+        decode_flooding, code=code, num_iters=num_iters, alpha=alpha,
+        beta=beta, check=check, early_stop=early_stop, msg_dtype=msg_dtype))
+
+
 def decode_layered(chan: jax.Array, code: QCBinaryCode, num_iters: int,
                    alpha: float = 1.0, beta: float = 0.0,
                    check: str = "syndrome", early_stop: bool = True,

@@ -1,0 +1,350 @@
+"""Monte-Carlo SNR-sweep simulation driver with reference statistics.
+
+Re-expresses the reference's L7 layer (bldpc_实习/main.cu:9-174 +
+Simulation.cu:12-285; myNBLDPC/src/main.cu:14-268 + Simulation.cpp:16-311) as a
+host loop around jitted, batch-sharded channel+decode steps:
+
+* per-SNR counters: frames, error frames, error bits/symbols, iteration sum,
+  undetected-error (FER_False) and false-alarm (FER_Alarm) frames — the binary
+  reference's self-consistency cross-check (Simulation.cu:245-285).
+* stop rule: errors >= leastErrorFrames AND frames >= leastTestFrames
+  (define.cuh:52-53, define.h:52-53), evaluated per batch.
+* output: the reference's console row schema (binary: SNR frames errors FER
+  BER avgIT FER_False FER_Alarm; NB: SNR frames errors FER BER avgIT sec/frame,
+  Simulation.cpp:281-289), appended to results.txt, plus structured JSONL.
+* checkpoint/resume: counters persisted after every batch (the reference
+  restarts a killed sweep from scratch; partial results only survived as
+  results.txt rows — SURVEY.md section 5).
+
+Seeds: one integer seed replaces the reference's (173,173,173) LCG triple;
+keys fold in (process, snr index, batch counter) so every SNR point and every
+host draws an independent, reproducible stream (main.cu:117-119 reset
+semantics: the sweep is deterministic given the seed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_ldpc_tpu import config as cfg
+from cuda_ldpc_tpu.models.nb_code import NBCode
+from cuda_ldpc_tpu.models.qc_binary import QCBinaryCode
+from cuda_ldpc_tpu.ops import channel, demod, minsum, nb_decode
+from cuda_ldpc_tpu.parallel import batch_sharding, get_mesh
+from cuda_ldpc_tpu.utils import registry
+from cuda_ldpc_tpu.utils.constellations import constellation
+
+
+@dataclasses.dataclass
+class SnrStats:
+    """Counters for one SNR point (struct Simulation, bldpc_实习/struct.cuh:6-33)."""
+    snr: float
+    frames: int = 0
+    error_frames: int = 0
+    error_units: int = 0          # bits (binary) or symbols (NB)
+    iter_sum: int = 0
+    false_frames: int = 0        # bit errors but check passed  (FER_False)
+    alarm_frames: int = 0        # no bit errors but check failed (FER_Alarm)
+    decode_s: float = 0.0
+    info_bits: int = 0
+
+    @property
+    def fer(self) -> float:
+        return self.error_frames / max(self.frames, 1)
+
+    @property
+    def ber(self) -> float:
+        return self.error_units / max(self.frames, 1) / max(self._units, 1)
+
+    def row(self, kind: str) -> str:
+        avg_it = self.iter_sum / max(self.frames, 1)
+        if kind == "binary":
+            return (f" {self.snr:.1f} {self.frames:8d}  {self.error_frames:4d}"
+                    f"  {self.fer:6.4e}  {self.ber:6.4e}  {avg_it:.2f}"
+                    f"  {self.false_frames / max(self.frames, 1):6.4e}"
+                    f"  {self.alarm_frames / max(self.frames, 1):6.4e}")
+        sec = self.decode_s / max(self.frames, 1)
+        return (f" {self.snr:.1f} {self.frames:8d}  {self.error_frames:4d}"
+                f"  {self.fer:6.4e}  {self.ber:6.4e}  {avg_it:.2f}"
+                f"  {sec:6.4e}sec")
+
+    def to_dict(self, kind: str) -> dict:
+        d = dataclasses.asdict(self)
+        d["kind"] = kind
+        d["fer"] = self.fer
+        d["ber"] = self.ber
+        d["avg_iters"] = self.iter_sum / max(self.frames, 1)
+        d["info_mbps"] = (self.info_bits / self.decode_s / 1e6
+                          if self.decode_s else 0.0)
+        return d
+
+
+@dataclasses.dataclass
+class SweepResult:
+    rows: list[dict]
+
+    def fer_curve(self) -> dict[float, float]:
+        return {r["snr"]: r["fer"] for r in self.rows}
+
+
+class _Checkpoint:
+    """Atomic JSON checkpoint of sweep progress keyed by a config hash."""
+
+    def __init__(self, path: str | None, key: str):
+        self.path = path
+        self.key = key
+        self.state = {"key": key, "done": {}, "current": None}
+        if path and os.path.exists(path):
+            try:
+                with open(path) as f:
+                    old = json.load(f)
+                if old.get("key") == key:
+                    self.state = old
+            except (json.JSONDecodeError, OSError):
+                pass
+
+    def done_rows(self) -> dict:
+        return self.state["done"]
+
+    def current(self, snr: float):
+        cur = self.state.get("current")
+        if cur and abs(cur["stats"]["snr"] - snr) < 1e-9:
+            return cur
+        return None
+
+    def save(self, stats: SnrStats | None, batch_idx: int, units: int):
+        if not self.path:
+            return
+        if stats is not None:
+            d = dataclasses.asdict(stats)
+            self.state["current"] = {"stats": d, "batch_idx": batch_idx,
+                                     "units": units}
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.state, f)
+        os.replace(tmp, self.path)
+
+    def finish_point(self, stats: SnrStats, kind: str):
+        self.state["done"][f"{stats.snr:g}"] = stats.to_dict(kind)
+        self.state["current"] = None
+        self.save(None, 0, 0)
+
+
+def _emit(row: str, jsonl: dict, out_dir: str | None, quiet: bool):
+    if not quiet:
+        print(row, flush=True)
+    if out_dir:
+        with open(os.path.join(out_dir, "results.txt"), "a") as f:
+            f.write(row + "\n")
+        with open(os.path.join(out_dir, "results.jsonl"), "a") as f:
+            f.write(json.dumps(jsonl) + "\n")
+
+
+def _config_key(*parts) -> str:
+    blob = json.dumps([dataclasses.asdict(p) if dataclasses.is_dataclass(p)
+                       else p for p in parts], sort_keys=True)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def _run_sweep(kind: str, sweep: cfg.SweepConfig, units_per_frame: int,
+               info_bits_per_frame: int, batch: int,
+               step: Callable, out_dir: str | None, checkpoint: str | None,
+               key_salt: str, quiet: bool) -> SweepResult:
+    """Shared sweep loop.  ``step(snr_idx, batch_idx, sigma) ->
+    (n_frames, err_frames, err_units, iter_sum, false_f, alarm_f, seconds)."""
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    ck = _Checkpoint(checkpoint, key_salt)
+    rows: list[dict] = []
+    for si, snr in enumerate(sweep.snr_points()):
+        done = ck.done_rows().get(f"{snr:g}")
+        if done is not None:
+            rows.append(done)
+            continue
+        stats = SnrStats(snr=snr)
+        stats._units = units_per_frame
+        batch_idx = 0
+        cur = ck.current(snr)
+        if cur:
+            stats = SnrStats(**cur["stats"])
+            stats._units = cur["units"]
+            batch_idx = cur["batch_idx"]
+        next_display = (stats.frames // sweep.display_step + 1) * sweep.display_step
+        while not (stats.error_frames >= sweep.least_error_frames
+                   and stats.frames >= sweep.least_test_frames):
+            if stats.frames >= sweep.max_frames:
+                break
+            nf, ef, eu, its, ff, af, secs = step(si, batch_idx, snr)
+            stats.frames += nf
+            stats.error_frames += ef
+            stats.error_units += eu
+            stats.iter_sum += its
+            stats.false_frames += ff
+            stats.alarm_frames += af
+            stats.decode_s += secs
+            stats.info_bits += nf * info_bits_per_frame
+            batch_idx += 1
+            ck.save(stats, batch_idx, units_per_frame)
+            if stats.frames >= next_display:
+                _emit(stats.row(kind), stats.to_dict(kind), out_dir, quiet)
+                next_display += sweep.display_step
+        _emit(stats.row(kind), stats.to_dict(kind), out_dir, quiet)
+        ck.finish_point(stats, kind)
+        rows.append(stats.to_dict(kind))
+    return SweepResult(rows=rows)
+
+
+# --------------------------------------------------------------------------
+# binary simulator
+# --------------------------------------------------------------------------
+
+def make_binary_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
+                     mesh=None):
+    """Jitted batch step: all-zero codeword -> AWGN -> min-sum decode -> stats.
+    Returns (fn, batch): fn(key, sigma) -> 6 int32 counters + ok-mask unused."""
+    dec_cfg = sim.decoder
+    mesh = mesh or get_mesh()
+    n_dev = mesh.devices.size
+    B = sim.batch_per_device * n_dev
+    shard = batch_sharding(mesh, 3)
+    decode = (minsum.decode_flooding if dec_cfg.schedule == "flooding"
+              else minsum.decode_layered)
+    msg_cols = code.L - code.J if dec_cfg.message_only else code.L
+    dtype = jnp.dtype(dec_cfg.msg_dtype)
+
+    def step(key, sigma):
+        cw = jnp.zeros((code.L, code.Z), dtype=jnp.float32)
+        chan = channel.bpsk_awgn_llr(key, cw, sigma, B)
+        if not sim.add_noise:
+            chan = channel.bpsk(cw)[None].repeat(B, 0)
+        chan = jax.lax.with_sharding_constraint(chan, shard)
+        res = decode(chan, code, dec_cfg.max_iters, alpha=dec_cfg.alpha,
+                     beta=dec_cfg.beta, check=dec_cfg.check,
+                     msg_dtype=dtype)
+        errbits = jnp.sum(res.hard[:, :msg_cols].astype(jnp.int32),
+                          axis=(1, 2))                        # vs all-zero cw
+        has_err = errbits > 0
+        frame_err = has_err | ~res.ok
+        false_f = has_err & res.ok         # undetected error (FER_False)
+        alarm_f = ~has_err & ~res.ok       # false alarm (FER_Alarm)
+        return (jnp.sum(errbits), jnp.sum(frame_err.astype(jnp.int32)),
+                jnp.sum(false_f.astype(jnp.int32)),
+                jnp.sum(alarm_f.astype(jnp.int32)),
+                res.iters.astype(jnp.int32))
+
+    return jax.jit(step), B
+
+
+def run_binary_sweep(sim: cfg.BinarySimConfig, mesh=None,
+                     out_dir: str | None = None,
+                     checkpoint: str | None = None,
+                     quiet: bool = False) -> SweepResult:
+    code = QCBinaryCode.from_registry(sim.code)
+    fn, B = make_binary_step(code, sim, mesh)
+    sweep = sim.sweep
+    base = jax.random.PRNGKey(sweep.seed)
+    base = jax.random.fold_in(base, jax.process_index())
+    msg_cols = code.L - code.J if sim.decoder.message_only else code.L
+
+    def step(si, bi, snr):
+        sigma = channel.sigma_from_snr(snr, code.rate, sweep.snr_type)
+        key = jax.random.fold_in(jax.random.fold_in(base, si), bi)
+        t0 = time.perf_counter()
+        errbits, errf, falsef, alarmf, iters = fn(key, sigma)
+        errbits = int(jax.block_until_ready(errbits))
+        secs = time.perf_counter() - t0
+        # batch-global iteration count, weighted per frame like the reference
+        # (Simulation.cu:258: Total_Iteration += iteraTime per frame)
+        return (B, int(errf), errbits, int(iters) * B, int(falsef),
+                int(alarmf), secs)
+
+    key_salt = _config_key(sim, {"kind": "binary", "B": B})
+    return _run_sweep("binary", sweep, msg_cols * code.Z, code.k, B, step,
+                      out_dir, checkpoint, key_salt, quiet)
+
+
+# --------------------------------------------------------------------------
+# non-binary simulator
+# --------------------------------------------------------------------------
+
+def make_nb_step(code: NBCode, sim: cfg.NBSimConfig, mesh=None):
+    dec = sim.decoder
+    mesh = mesh or get_mesh()
+    n_dev = mesh.devices.size
+    B = sim.batch_per_device * n_dev
+    shard = batch_sharding(mesh, 3)
+    pts = constellation(sim.n_qam)
+    if sim.tx == "fixture":
+        tx_syms = registry.load_test_codeword(code.n_sym)
+    else:
+        tx_syms = np.zeros(code.n_sym, dtype=int)
+    if sim.n_qam == 2:
+        tx_labels = demod.sym_to_bit(tx_syms, code.q_bit)
+    else:
+        if sim.n_qam != code.q:
+            raise ValueError(
+                f"QAM order {sim.n_qam} must equal GF order {code.q} "
+                "(the reference maps one symbol per constellation point, "
+                "myNBLDPC/src/LDPC_Encoder.cpp:19-36)")
+        tx_labels = tx_syms
+    tx_dev = jnp.asarray(tx_syms, dtype=jnp.int32)
+    decoder = {
+        "ems": lambda L: nb_decode.decode_ems(L, code, dec.max_iters,
+                                              nm=dec.nm, nc=dec.nc),
+        "ems_full": lambda L: nb_decode.decode_ems(L, code, dec.max_iters,
+                                                   full=True),
+        "tmm": lambda L: nb_decode.decode_tmm(L, code, dec.max_iters),
+        "layered_tmm": lambda L: nb_decode.decode_layered_tmm(
+            L, code, dec.max_iters),
+    }[dec.method]
+
+    def step(key, sigma):
+        L = demod.nb_channel_llr(key, tx_labels, pts, sigma, batch=B, q=code.q)
+        L = jax.lax.with_sharding_constraint(L, shard)
+        res = decoder(L)
+        errsyms = jnp.sum((res.hard != tx_dev[None]).astype(jnp.int32), axis=1)
+        has_err = errsyms > 0
+        false_f = has_err & res.ok
+        alarm_f = ~has_err & ~res.ok
+        return (jnp.sum(errsyms), jnp.sum(has_err.astype(jnp.int32)),
+                jnp.sum(false_f.astype(jnp.int32)),
+                jnp.sum(alarm_f.astype(jnp.int32)), jnp.sum(res.iters))
+
+    return jax.jit(step), B
+
+
+def run_nb_sweep(sim: cfg.NBSimConfig, mesh=None, out_dir: str | None = None,
+                 checkpoint: str | None = None,
+                 quiet: bool = False) -> SweepResult:
+    code = NBCode.from_registry(sim.code)
+    fn, B = make_nb_step(code, sim, mesh)
+    sweep = sim.sweep
+    base = jax.random.PRNGKey(sweep.seed)
+    base = jax.random.fold_in(base, jax.process_index())
+    bits_per_sym = float(np.log2(sim.n_qam))
+
+    def step(si, bi, snr):
+        # sigma includes the log2(n_QAM)*rate factor (myNBLDPC/src/main.cu:221-228)
+        sigma = channel.sigma_from_snr(snr, code.rate, sweep.snr_type,
+                                       bits_per_sym)
+        key = jax.random.fold_in(jax.random.fold_in(base, si), bi)
+        t0 = time.perf_counter()
+        errsyms, errf, falsef, alarmf, iters = fn(key, sigma)
+        errsyms = int(jax.block_until_ready(errsyms))
+        secs = time.perf_counter() - t0
+        return (B, int(errf), errsyms, int(iters), int(falsef), int(alarmf),
+                secs)
+
+    key_salt = _config_key(sim, {"kind": "nb", "B": B})
+    return _run_sweep("nb", sweep, code.n_sym,
+                      code.k_sym * code.q_bit, B, step, out_dir, checkpoint,
+                      key_salt, quiet)

@@ -94,6 +94,36 @@ def load_nb_code_file(name: str) -> ldpc_io.NBCodeFile:
     return ldpc_io.parse_nb_code(str(p))
 
 
+def load_test_codeword(n_sym: int) -> np.ndarray:
+    """Parse the active fixture codeword from the reference's codeword_test.h
+    (myNBLDPC/include/codeword_test.h:1) — the transmitted codeword the NB
+    simulator pins instead of encoding (it ships no encoder).  Returns the
+    first non-commented array if its length matches ``n_sym``."""
+    import re
+
+    p = _find("codeword_test", (".h",))
+    if p is None:
+        for d in _REFERENCE_DIRS:
+            cand = d / "include" / "codeword_test.h"
+            if cand.is_file():
+                p = cand
+                break
+    if p is None:
+        raise FileNotFoundError("codeword_test.h not found")
+    text = "\n".join(ln for ln in p.read_text().splitlines()
+                     if not ln.lstrip().startswith("//"))
+    m = re.search(r"CodeWord_sym_test\s*\[(\d+)\]\s*=\s*\{([^}]*)\}", text,
+                  re.S)
+    if not m:
+        raise ValueError(f"no active codeword array in {p}")
+    vals = np.array([int(t) for t in m.group(2).replace(",", " ").split()],
+                    dtype=np.int64)
+    if vals.size != n_sym:
+        raise ValueError(
+            f"fixture codeword has {vals.size} symbols, code needs {n_sym}")
+    return vals
+
+
 def save_binary_npz(name: str, base: np.ndarray, Z: int, outdir=None) -> pathlib.Path:
     outdir = pathlib.Path(outdir) if outdir else ASSETS_DIR
     outdir.mkdir(parents=True, exist_ok=True)

@@ -1,0 +1,108 @@
+"""Sweep driver: statistics, stop rule, output schema, checkpoint/resume,
+mesh sharding, CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cuda_ldpc_tpu import cli, config as cfg, sim
+from cuda_ldpc_tpu.parallel import get_mesh
+
+
+def tiny_binary_cfg(**kw):
+    return cfg.BinarySimConfig(
+        code="J4_L24_Z96",
+        decoder=cfg.BinaryDecoderConfig(max_iters=8, check="zero"),
+        sweep=cfg.SweepConfig(snr_start=3.0, snr_step=0.5, snr_stop=3.5,
+                              snr_type="ebn0", least_error_frames=2,
+                              least_test_frames=64, max_frames=256,
+                              display_step=10**6, seed=7),
+        batch_per_device=8, **kw)
+
+
+def test_binary_sweep_runs(tmp_path):
+    res = sim.run_binary_sweep(tiny_binary_cfg(), out_dir=str(tmp_path),
+                               quiet=True)
+    assert len(res.rows) == 2
+    for row in res.rows:
+        assert row["frames"] >= 64
+        assert 0.0 <= row["fer"] <= 1.0
+        assert row["info_mbps"] > 0
+    lines = (tmp_path / "results.txt").read_text().strip().splitlines()
+    assert len(lines) >= 2
+    # row schema: SNR frames errors FER BER avgIT FER_False FER_Alarm
+    parts = lines[-1].split()
+    assert len(parts) == 8
+    jl = [json.loads(x) for x in
+          (tmp_path / "results.jsonl").read_text().splitlines()]
+    assert jl[-1]["kind"] == "binary"
+
+
+def test_binary_sweep_checkpoint_resume(tmp_path):
+    ck = str(tmp_path / "ck.json")
+    res1 = sim.run_binary_sweep(tiny_binary_cfg(), checkpoint=ck, quiet=True)
+    assert os.path.exists(ck)
+    # resume: completed points come back from the checkpoint verbatim
+    res2 = sim.run_binary_sweep(tiny_binary_cfg(), checkpoint=ck, quiet=True)
+    assert [r["frames"] for r in res1.rows] == [r["frames"] for r in res2.rows]
+    assert [r["fer"] for r in res1.rows] == [r["fer"] for r in res2.rows]
+    # a different config must NOT reuse the checkpoint
+    other = tiny_binary_cfg()
+    other.decoder.max_iters = 3
+    state = json.load(open(ck))
+    res3 = sim.run_binary_sweep(other, checkpoint=ck, quiet=True)
+    assert json.load(open(ck))["key"] != state["key"]
+
+
+def test_binary_sweep_sharded_mesh():
+    mesh = get_mesh()  # all 8 virtual CPU devices
+    assert mesh.devices.size == 8
+    simcfg = tiny_binary_cfg()
+    res = sim.run_binary_sweep(simcfg, mesh=mesh, quiet=True)
+    # global batch = batch_per_device * n_devices
+    assert res.rows[0]["frames"] % (8 * simcfg.batch_per_device) == 0
+
+
+def test_nb_sweep_runs(tmp_path):
+    simcfg = cfg.NBSimConfig(
+        code="LDPC_N96_K48_GF256_d1_exp",
+        decoder=cfg.NBDecoderConfig(method="tmm", max_iters=5),
+        sweep=cfg.SweepConfig(snr_start=4.0, snr_step=1.0, snr_stop=4.0,
+                              least_error_frames=1, least_test_frames=16,
+                              max_frames=64, display_step=10**6),
+        batch_per_device=2)
+    res = sim.run_nb_sweep(simcfg, out_dir=str(tmp_path), quiet=True)
+    assert len(res.rows) == 1
+    row = res.rows[0]
+    assert row["kind"] == "nb"
+    assert row["frames"] >= 16
+    line = (tmp_path / "results.txt").read_text().strip().splitlines()[-1]
+    assert line.endswith("sec")
+
+
+def test_nb_fixture_codeword_loads():
+    from cuda_ldpc_tpu.utils import registry
+    cw = registry.load_test_codeword(96)
+    assert cw.shape == (96,)
+    assert cw.min() >= 0 and cw.max() < 64
+    # it must be a valid codeword of the GF(64) code? (the reference never
+    # checks; we only check range here)
+
+
+def test_cli_parses_and_lists(capsys):
+    assert cli.main(["list-codes"]) == 0
+    out = capsys.readouterr().out
+    assert "J15_L30_Z1280" in out and "BDS.576.288.GF.64" in out
+    p = cli.build_parser()
+    args = p.parse_args(["binary", "--code", "J4_L24_Z96", "--snr", "1:0.5:2",
+                         "--schedule", "layered", "--alpha", "0.8"])
+    assert args.alpha == 0.8
+    with pytest.raises(SystemExit):
+        p.parse_args(["binary", "--code", "not_a_code"])
+
+
+def test_snr_points_float_accumulation():
+    s = cfg.SweepConfig(snr_start=0.0, snr_step=0.2, snr_stop=1.0)
+    assert s.snr_points() == [0.0, 0.2, 0.4, 0.6, 0.8, 1.0]
