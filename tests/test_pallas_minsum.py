@@ -1,0 +1,58 @@
+"""Fused Pallas min-sum kernel vs the jnp reference path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_ldpc_tpu import QCBinaryCode
+from cuda_ldpc_tpu.ops import channel, minsum, pallas_minsum
+
+
+@pytest.fixture(scope="module")
+def code():
+    return QCBinaryCode.from_registry("J4_L24_Z256")
+
+
+def _chan(code, sigma, batch, seed=0):
+    cw = jnp.zeros((code.L, code.Z))
+    return channel.bpsk_awgn_llr(jax.random.PRNGKey(seed), cw, sigma, batch)
+
+
+@pytest.mark.parametrize("check,early", [("zero", True), ("zero", False),
+                                         ("syndrome", True), ("none", False)])
+def test_matches_jnp(code, check, early):
+    chan = _chan(code, 0.55, 16)
+    a = minsum.decode_flooding(chan, code, 6, check=check, early_stop=early)
+    b = pallas_minsum.decode_flooding(chan, code, 6, check=check,
+                                      early_stop=early, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
+    np.testing.assert_array_equal(np.asarray(a.ok), np.asarray(b.ok))
+    assert int(a.iters) == int(b.iters)
+
+
+def test_alpha_beta(code):
+    chan = _chan(code, 0.6, 8, seed=3)
+    a = minsum.decode_flooding(chan, code, 4, alpha=0.8, beta=0.1,
+                               check="zero")
+    b = pallas_minsum.decode_flooding(chan, code, 4, alpha=0.8, beta=0.1,
+                                      check="zero", interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
+
+
+def test_ragged_batch_padding(code):
+    chan = _chan(code, 0.6, 11, seed=5)   # not a multiple of tile_b
+    a = minsum.decode_flooding(chan, code, 4, check="zero")
+    b = pallas_minsum.decode_flooding(chan, code, 4, check="zero",
+                                      interpret=True)
+    assert np.asarray(b.hard).shape[0] == 11
+    np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
+    np.testing.assert_array_equal(np.asarray(a.ok), np.asarray(b.ok))
+
+
+def test_unsupported_z_raises():
+    small = QCBinaryCode.from_registry("J4_L24_Z96")
+    assert not pallas_minsum.supports(small)
+    with pytest.raises(ValueError, match="Z % 128"):
+        pallas_minsum.decode_flooding(jnp.zeros((2, small.L, small.Z)),
+                                      small, 2, interpret=True)
