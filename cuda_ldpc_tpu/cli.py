@@ -42,6 +42,9 @@ def _add_sweep_args(p, d: cfg.SweepConfig):
     p.add_argument("--checkpoint", default=None,
                    help="JSON checkpoint path for resumable sweeps")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() so the mesh spans "
+                        "every host's devices (run one process per host)")
 
 
 def _sweep_from(args, d: cfg.SweepConfig) -> cfg.SweepConfig:
@@ -78,6 +81,9 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--batch", type=int, default=bd.batch_per_device,
                    help="frames per device per decode call")
     b.add_argument("--no-noise", action="store_true", help="Add_noise=0")
+    b.add_argument("--tx", choices=["zero", "random"], default=bd.tx,
+                   help="random: encode random messages (needs "
+                        "--check syndrome)")
     b.add_argument("--kernel", choices=["auto", "jnp", "pallas"],
                    default="auto")
     b.add_argument("--msg-dtype", default="float32",
@@ -114,6 +120,10 @@ def main(argv=None) -> int:
             print("  ", c)
         return 0
 
+    if getattr(args, "distributed", False):
+        import jax
+        jax.distributed.initialize()
+
     from cuda_ldpc_tpu import sim as simmod   # defer jax import
 
     if args.cmd == "binary":
@@ -125,7 +135,8 @@ def main(argv=None) -> int:
                 message_only=not args.count_full_codeword,
                 kernel=args.kernel, msg_dtype=args.msg_dtype),
             sweep=_sweep_from(args, cfg.BinarySimConfig().sweep),
-            batch_per_device=args.batch, add_noise=not args.no_noise)
+            batch_per_device=args.batch, add_noise=not args.no_noise,
+            tx=args.tx)
         res = simmod.run_binary_sweep(simcfg, out_dir=args.out_dir,
                                       checkpoint=args.checkpoint,
                                       quiet=args.quiet)

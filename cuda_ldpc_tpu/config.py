@@ -86,6 +86,8 @@ class BinarySimConfig:
         least_error_frames=50, least_test_frames=10000))
     batch_per_device: int = 4096      # Num_Frames_OneTime (define.cuh:60)
     add_noise: bool = True            # Add_noise (define.cuh:44)
+    tx: str = "zero"                  # 'zero' (the reference's only mode) or
+                                      # 'random' (real encoder + syndrome check)
 
 
 @dataclasses.dataclass

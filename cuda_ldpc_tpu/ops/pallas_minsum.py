@@ -39,10 +39,14 @@ from cuda_ldpc_tpu.ops.minsum import DecodeResult
 
 
 def _roll(x, shift: int, size: int):
-    """pltpu.roll with jnp.roll semantics and a non-negative shift."""
+    """pltpu.roll with jnp.roll semantics and a non-negative shift.  Mosaic's
+    dynamic_rotate only handles 32-bit lanes, so narrow dtypes round-trip
+    through f32 (rolls are ~free — ablation showed no cost difference)."""
     s = shift % size
     if s == 0:
         return x
+    if x.dtype.itemsize != 4:
+        return pltpu.roll(x.astype(jnp.float32), s, axis=1).astype(x.dtype)
     return pltpu.roll(x, s, axis=1)
 
 
@@ -90,7 +94,7 @@ def _kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
         big = jnp.asarray(3.4e38, dtype)
         for j in range(J):
             idx = code.row_edges[j]
-            Qs, sgns, mags = [], [], []
+            negs = []
             m1 = jnp.full((tile_b, Z), big, dtype)
             m2 = jnp.full((tile_b, Z), big, dtype)
             am = jnp.zeros((tile_b, Z), jnp.int32)
@@ -98,16 +102,17 @@ def _kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
                 l, s = int(edges[e, 1]), int(edges[e, 2])
                 q = T_ref[:, l, :] - R_ref[e]
                 q = _roll(q, -s, Z)
-                sgn = jnp.where(q < 0, -1.0, 1.0).astype(dtype)
+                neg = q < 0
                 mag = jnp.abs(q)
                 newmin = mag < m1
                 m2 = jnp.where(newmin, m1, jnp.minimum(m2, mag))
                 am = jnp.where(newmin, slot, am)
                 m1 = jnp.minimum(m1, mag)
-                sgns.append(sgn)
-            sp = sgns[0]
-            for sgn in sgns[1:]:
-                sp = sp * sgn
+                negs.append(neg)
+            # sign product as XOR of sign masks (cheaper than +-1 multiplies)
+            tot = negs[0]
+            for neg in negs[1:]:
+                tot = jnp.logical_xor(tot, neg)
             for slot, e in enumerate(idx):
                 s = int(edges[e, 2])
                 out = jnp.where(am == slot, m2, m1)
@@ -115,7 +120,8 @@ def _kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
                     out = jnp.maximum(out - jnp.asarray(beta, dtype), 0)
                 if alpha != 1.0:
                     out = out * jnp.asarray(alpha, dtype)
-                out = sp * sgns[slot] * out
+                flip = jnp.logical_xor(tot, negs[slot])
+                out = jnp.where(flip, -out, out)
                 R_ref[e] = _roll(out, s, Z)
 
     def body(state):
@@ -141,27 +147,106 @@ def _kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
     jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.asarray(False)))
 
 
-def decode_flooding(chan: jax.Array, code: QCBinaryCode, num_iters: int,
-                    alpha: float = 1.0, beta: float = 0.0,
-                    check: str = "zero", early_stop: bool = True,
-                    msg_dtype=None, tile_b: int = 8,
-                    interpret: bool = False) -> DecodeResult:
-    """Drop-in fused replacement for minsum.decode_flooding (binary flooding
-    min-sum, same numerics).  Returns per-frame ok and the batch-global
-    iteration count (max over tiles, like the reference's single host loop)."""
-    if not supports(code):
-        raise ValueError(f"pallas kernel needs Z % 128 == 0, got Z={code.Z}")
+def _layered_kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
+                    code: QCBinaryCode, num_iters: int, alpha: float,
+                    beta: float, check: str, early_stop: bool, tile_b: int):
+    """Row-layered schedule: each block-row's CN update is applied to the
+    running totals immediately (mirrors ops/minsum.decode_layered).  No
+    separate VN phase — totals live in T_ref across iterations — and layered
+    converges in roughly half the flooding iterations."""
+    L, Z, J = code.L, code.Z, code.J
+    edges = code.edges
+    msg_cols = L - J
+    dtype = R_ref.dtype
+
+    R_ref[...] = jnp.zeros(R_ref.shape, dtype)
+    for l in range(L):
+        T_ref[:, l, :] = chan_ref[:, l, :].astype(dtype)
+
+    def cn_sweep():
+        big = jnp.asarray(3.4e38, dtype)
+        for j in range(J):
+            idx = code.row_edges[j]
+            negs, mags_r = [], []
+            m1 = jnp.full((tile_b, Z), big, dtype)
+            m2 = jnp.full((tile_b, Z), big, dtype)
+            am = jnp.zeros((tile_b, Z), jnp.int32)
+            for slot, e in enumerate(idx):
+                l, s = int(edges[e, 1]), int(edges[e, 2])
+                q = T_ref[:, l, :] - R_ref[e]
+                q = _roll(q, -s, Z)
+                neg = q < 0
+                mag = jnp.abs(q)
+                newmin = mag < m1
+                m2 = jnp.where(newmin, m1, jnp.minimum(m2, mag))
+                am = jnp.where(newmin, slot, am)
+                m1 = jnp.minimum(m1, mag)
+                negs.append(neg)
+            tot = negs[0]
+            for neg in negs[1:]:
+                tot = jnp.logical_xor(tot, neg)
+            for slot, e in enumerate(idx):
+                l, s = int(edges[e, 1]), int(edges[e, 2])
+                out = jnp.where(am == slot, m2, m1)
+                if beta:
+                    out = jnp.maximum(out - jnp.asarray(beta, dtype), 0)
+                if alpha != 1.0:
+                    out = out * jnp.asarray(alpha, dtype)
+                flip = jnp.logical_xor(tot, negs[slot])
+                out = jnp.where(flip, -out, out)
+                new_col = _roll(out, s, Z)
+                T_ref[:, l, :] = T_ref[:, l, :] + new_col - R_ref[e]
+                R_ref[e] = new_col
+
+    def decide_ok():
+        if check == "zero":
+            acc = jnp.zeros((tile_b, 1), jnp.int32)
+            for l in range(msg_cols):
+                bits = (T_ref[:, l, :] < 0).astype(jnp.int32)
+                acc += jnp.sum(bits, axis=1, keepdims=True)
+            return acc == 0
+        if check == "syndrome":
+            viol = jnp.zeros((tile_b, 1), jnp.int32)
+            for j in range(J):
+                par = None
+                for e in code.row_edges[j]:
+                    l, s = int(edges[e, 1]), int(edges[e, 2])
+                    h = (T_ref[:, l, :] < 0).astype(jnp.int32)
+                    h = _roll(h, -s, Z)
+                    par = h if par is None else jnp.bitwise_xor(par, h)
+                viol += jnp.sum(par, axis=1, keepdims=True)
+            return viol == 0
+        return jnp.zeros((tile_b, 1), jnp.bool_)
+
+    def body(state):
+        it, _ = state
+        cn_sweep()
+        ok = decide_ok()
+        for l in range(L):
+            hard_ref[:, l, :] = (T_ref[:, l, :] < 0).astype(jnp.int8)
+        ok_ref[...] = jnp.broadcast_to(ok.astype(jnp.int32), (tile_b, 128))
+        iters_ref[...] = jnp.full((tile_b, 128), it + 1, jnp.int32)
+        return it + 1, jnp.all(ok)
+
+    def cond(state):
+        it, all_ok = state
+        live = jnp.logical_not(all_ok) if early_stop and check != "none" \
+            else jnp.asarray(True)
+        return jnp.logical_and(it < num_iters, live)
+
+    iters_ref[...] = jnp.zeros((tile_b, 128), jnp.int32)
+    hard_ref[...] = jnp.zeros(hard_ref.shape, jnp.int8)
+    ok_ref[...] = jnp.zeros((tile_b, 128), jnp.int32)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.asarray(False)))
+
+
+def _run_kernel(kernel, chan, code, tile_b, dtype, interpret):
     B, L, Z = chan.shape
-    dtype = jnp.dtype(msg_dtype) if msg_dtype is not None else chan.dtype
     nt = pl.cdiv(B, tile_b)
     Bp = nt * tile_b
     if Bp != B:
         chan = jnp.pad(chan, ((0, Bp - B), (0, 0), (0, 0)))
     chan = chan.astype(jnp.float32)
-
-    kernel = functools.partial(_kernel, code=code, num_iters=num_iters,
-                               alpha=alpha, beta=beta, check=check,
-                               early_stop=early_stop, tile_b=tile_b)
     hard, ok, iters = pl.pallas_call(
         kernel,
         grid=(nt,),
@@ -170,8 +255,6 @@ def decode_flooding(chan: jax.Array, code: QCBinaryCode, num_iters: int,
         out_specs=[
             pl.BlockSpec((tile_b, L, Z), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            # small outputs padded to a full 128-lane tile (Pallas requires
-            # the trailing dims be (8, 128)-divisible)
             pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
@@ -183,10 +266,42 @@ def decode_flooding(chan: jax.Array, code: QCBinaryCode, num_iters: int,
             jax.ShapeDtypeStruct((Bp, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile_b, L, Z), dtype),             # VN totals
+            pltpu.VMEM((tile_b, L, Z), dtype),               # VN totals
             pltpu.VMEM((code.num_edges, tile_b, Z), dtype),  # c2v messages
         ],
         interpret=interpret,
     )(chan)
     return DecodeResult(hard[:B], ok[:B, 0].astype(bool),
                         jnp.max(iters[:, 0]).astype(jnp.int32))
+
+
+def decode_layered(chan: jax.Array, code: QCBinaryCode, num_iters: int,
+                   alpha: float = 1.0, beta: float = 0.0,
+                   check: str = "zero", early_stop: bool = True,
+                   msg_dtype=None, tile_b: int = 8,
+                   interpret: bool = False) -> DecodeResult:
+    """Fused row-layered min-sum (drop-in for minsum.decode_layered)."""
+    if not supports(code):
+        raise ValueError(f"pallas kernel needs Z % 128 == 0, got Z={code.Z}")
+    dtype = jnp.dtype(msg_dtype) if msg_dtype is not None else chan.dtype
+    kernel = functools.partial(_layered_kernel, code=code, num_iters=num_iters,
+                               alpha=alpha, beta=beta, check=check,
+                               early_stop=early_stop, tile_b=tile_b)
+    return _run_kernel(kernel, chan, code, tile_b, dtype, interpret)
+
+
+def decode_flooding(chan: jax.Array, code: QCBinaryCode, num_iters: int,
+                    alpha: float = 1.0, beta: float = 0.0,
+                    check: str = "zero", early_stop: bool = True,
+                    msg_dtype=None, tile_b: int = 8,
+                    interpret: bool = False) -> DecodeResult:
+    """Drop-in fused replacement for minsum.decode_flooding (binary flooding
+    min-sum, same numerics).  Returns per-frame ok and the batch-global
+    iteration count (max over tiles, like the reference's single host loop)."""
+    if not supports(code):
+        raise ValueError(f"pallas kernel needs Z % 128 == 0, got Z={code.Z}")
+    dtype = jnp.dtype(msg_dtype) if msg_dtype is not None else chan.dtype
+    kernel = functools.partial(_kernel, code=code, num_iters=num_iters,
+                               alpha=alpha, beta=beta, check=check,
+                               early_stop=early_stop, tile_b=tile_b)
+    return _run_kernel(kernel, chan, code, tile_b, dtype, interpret)

@@ -139,6 +139,24 @@ class _Checkpoint:
         self.save(None, 0, 0)
 
 
+def _write_logo(kind: str, lines: list[str], out_dir: str | None, quiet: bool):
+    """Config banner + column header, like the reference's WriteLogo
+    (bldpc_实习/Simulation.cu:176-240)."""
+    header = {
+        "binary": ("  SNR   frames  errF    FER         BER        avgIT"
+                   "   FER_False   FER_Alarm"),
+        "nb": ("  SNR   frames  errF    FER         BER        avgIT"
+               "   sec/frame"),
+    }[kind]
+    text = "\n".join(["*" * 70, *lines, "*" * 70, header])
+    if not quiet:
+        print(text, flush=True)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "results.txt"), "a") as f:
+            f.write(text + "\n")
+
+
 def _emit(row: str, jsonl: dict, out_dir: str | None, quiet: bool):
     if not quiet:
         print(row, flush=True)
@@ -207,31 +225,65 @@ def _run_sweep(kind: str, sweep: cfg.SweepConfig, units_per_frame: int,
 # binary simulator
 # --------------------------------------------------------------------------
 
+def _pick_binary_decode(code: QCBinaryCode, dec_cfg: cfg.BinaryDecoderConfig):
+    """Kernel dispatch: fused Pallas on TPU when the code's Z suits it."""
+    from cuda_ldpc_tpu.ops import pallas_minsum
+    layered = dec_cfg.schedule == "layered"
+    want = dec_cfg.kernel
+    on_tpu = jax.default_backend() == "tpu"
+    if want == "pallas" or (want == "auto" and on_tpu
+                            and pallas_minsum.supports(code)):
+        if not pallas_minsum.supports(code):
+            raise ValueError(
+                f"pallas kernel unsupported for {code.name} (Z={code.Z})")
+        return (pallas_minsum.decode_layered if layered
+                else pallas_minsum.decode_flooding)
+    return minsum.decode_layered if layered else minsum.decode_flooding
+
+
 def make_binary_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
                      mesh=None):
-    """Jitted batch step: all-zero codeword -> AWGN -> min-sum decode -> stats.
-    Returns (fn, batch): fn(key, sigma) -> 6 int32 counters + ok-mask unused."""
+    """Jitted batch step: (all-zero or random-encoded) codeword -> AWGN ->
+    min-sum decode -> stats.  Returns (fn, batch)."""
     dec_cfg = sim.decoder
     mesh = mesh or get_mesh()
     n_dev = mesh.devices.size
     B = sim.batch_per_device * n_dev
     shard = batch_sharding(mesh, 3)
-    decode = (minsum.decode_flooding if dec_cfg.schedule == "flooding"
-              else minsum.decode_layered)
+    decode = _pick_binary_decode(code, dec_cfg)
     msg_cols = code.L - code.J if dec_cfg.message_only else code.L
     dtype = jnp.dtype(dec_cfg.msg_dtype)
+    enc = None
+    if sim.tx == "random":
+        from cuda_ldpc_tpu.models.encoder import BinaryEncoder
+        enc = BinaryEncoder.from_code(code)
+        if dec_cfg.check == "zero":
+            raise ValueError("tx='random' needs check='syndrome' (the "
+                             "reference's zero-check only works for the "
+                             "all-zero codeword)")
 
     def step(key, sigma):
-        cw = jnp.zeros((code.L, code.Z), dtype=jnp.float32)
-        chan = channel.bpsk_awgn_llr(key, cw, sigma, B)
-        if not sim.add_noise:
-            chan = channel.bpsk(cw)[None].repeat(B, 0)
+        if enc is None:
+            cw = jnp.zeros((B, code.L, code.Z), dtype=jnp.float32)
+        else:
+            kmsg, key = jax.random.split(key)
+            msg = jax.random.bernoulli(
+                kmsg, 0.5, (B, enc.k_eff)).astype(jnp.float32)
+            cw = enc.encode_jax(msg).reshape(B, code.L, code.Z)
+            cw = cw.astype(jnp.float32)
+        x = 1.0 - 2.0 * cw
+        if sim.add_noise:
+            noise = jax.random.normal(key, (B, code.L, code.Z),
+                                      dtype=jnp.float32)
+            chan = x + sigma * noise
+        else:
+            chan = x
         chan = jax.lax.with_sharding_constraint(chan, shard)
         res = decode(chan, code, dec_cfg.max_iters, alpha=dec_cfg.alpha,
                      beta=dec_cfg.beta, check=dec_cfg.check,
                      msg_dtype=dtype)
-        errbits = jnp.sum(res.hard[:, :msg_cols].astype(jnp.int32),
-                          axis=(1, 2))                        # vs all-zero cw
+        errs = res.hard.astype(jnp.int32) != cw.astype(jnp.int32)
+        errbits = jnp.sum(errs[:, :msg_cols].astype(jnp.int32), axis=(1, 2))
         has_err = errbits > 0
         frame_err = has_err | ~res.ok
         false_f = has_err & res.ok         # undetected error (FER_False)
@@ -251,6 +303,18 @@ def run_binary_sweep(sim: cfg.BinarySimConfig, mesh=None,
     code = QCBinaryCode.from_registry(sim.code)
     fn, B = make_binary_step(code, sim, mesh)
     sweep = sim.sweep
+    d = sim.decoder
+    _write_logo("binary", [
+        f" code: {code!r}",
+        f" decoder: {d.schedule} min-sum, maxIT={d.max_iters}, "
+        f"alpha={d.alpha}, beta={d.beta}, check={d.check}, "
+        f"kernel={d.kernel}, dtype={d.msg_dtype}",
+        f" tx: {sim.tx}, noise: {sim.add_noise}, batch: {B} "
+        f"({sim.batch_per_device}/device)",
+        f" sweep: {sweep.snr_type} {sweep.snr_start}:{sweep.snr_step}:"
+        f"{sweep.snr_stop}, stop at >={sweep.least_error_frames} errors & "
+        f">={sweep.least_test_frames} frames, seed={sweep.seed}",
+    ], out_dir, quiet)
     base = jax.random.PRNGKey(sweep.seed)
     base = jax.random.fold_in(base, jax.process_index())
     msg_cols = code.L - code.J if sim.decoder.message_only else code.L
@@ -328,6 +392,16 @@ def run_nb_sweep(sim: cfg.NBSimConfig, mesh=None, out_dir: str | None = None,
     code = NBCode.from_registry(sim.code)
     fn, B = make_nb_step(code, sim, mesh)
     sweep = sim.sweep
+    d = sim.decoder
+    _write_logo("nb", [
+        f" code: {code!r}",
+        f" decoder: {d.method}, Nm={d.nm}, Nc={d.nc}, maxIT={d.max_iters}",
+        f" modulation: {'BPSK' if sim.n_qam == 2 else f'{sim.n_qam}-QAM'}, "
+        f"tx: {sim.tx}, batch: {B} ({sim.batch_per_device}/device)",
+        f" sweep: {sweep.snr_type} {sweep.snr_start}:{sweep.snr_step}:"
+        f"{sweep.snr_stop}, stop at >={sweep.least_error_frames} errors & "
+        f">={sweep.least_test_frames} frames, seed={sweep.seed}",
+    ], out_dir, quiet)
     base = jax.random.PRNGKey(sweep.seed)
     base = jax.random.fold_in(base, jax.process_index())
     bits_per_sym = float(np.log2(sim.n_qam))

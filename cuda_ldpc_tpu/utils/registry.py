@@ -101,6 +101,10 @@ def load_test_codeword(n_sym: int) -> np.ndarray:
     first non-commented array if its length matches ``n_sym``."""
     import re
 
+    npz = _find(f"codeword_test_{n_sym}", (".npz",))
+    if npz is not None:
+        with np.load(npz) as d:
+            return d["symbols"].astype(np.int64)
     p = _find("codeword_test", (".h",))
     if p is None:
         for d in _REFERENCE_DIRS:

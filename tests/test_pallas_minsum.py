@@ -31,6 +31,17 @@ def test_matches_jnp(code, check, early):
     assert int(a.iters) == int(b.iters)
 
 
+@pytest.mark.parametrize("check", ["zero", "syndrome"])
+def test_layered_matches_jnp(code, check):
+    chan = _chan(code, 0.55, 16, seed=7)
+    a = minsum.decode_layered(chan, code, 5, check=check)
+    b = pallas_minsum.decode_layered(chan, code, 5, check=check,
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
+    np.testing.assert_array_equal(np.asarray(a.ok), np.asarray(b.ok))
+    assert int(a.iters) == int(b.iters)
+
+
 def test_alpha_beta(code):
     chan = _chan(code, 0.6, 8, seed=3)
     a = minsum.decode_flooding(chan, code, 4, alpha=0.8, beta=0.1,
