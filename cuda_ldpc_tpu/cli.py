@@ -81,6 +81,9 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--batch", type=int, default=bd.batch_per_device,
                    help="frames per device per decode call")
     b.add_argument("--no-noise", action="store_true", help="Add_noise=0")
+    b.add_argument("--packed", action="store_true",
+                   help="run all SNR points concurrently in packed batches "
+                        "(per-frame sigma; keeps the chip full)")
     b.add_argument("--tx", choices=["zero", "random"], default=bd.tx,
                    help="random: encode random messages (needs "
                         "--check syndrome)")
@@ -137,9 +140,13 @@ def main(argv=None) -> int:
             sweep=_sweep_from(args, cfg.BinarySimConfig().sweep),
             batch_per_device=args.batch, add_noise=not args.no_noise,
             tx=args.tx)
-        res = simmod.run_binary_sweep(simcfg, out_dir=args.out_dir,
-                                      checkpoint=args.checkpoint,
-                                      quiet=args.quiet)
+        if args.packed:
+            res = simmod.run_binary_sweep_packed(simcfg, out_dir=args.out_dir,
+                                                 quiet=args.quiet)
+        else:
+            res = simmod.run_binary_sweep(simcfg, out_dir=args.out_dir,
+                                          checkpoint=args.checkpoint,
+                                          quiet=args.quiet)
     else:
         simcfg = cfg.NBSimConfig(
             code=args.code,

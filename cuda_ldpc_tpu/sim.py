@@ -336,6 +336,112 @@ def run_binary_sweep(sim: cfg.BinarySimConfig, mesh=None,
                       out_dir, checkpoint, key_salt, quiet)
 
 
+def make_binary_packed_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
+                            n_points: int, mesh=None):
+    """Packed multi-SNR step: each frame carries its own sigma and SNR-point
+    id; per-point counters come back as a [S, 5] segment-sum.  The reference
+    sweeps SNR strictly sequentially (bldpc_实习/main.cu:114-157), leaving the
+    device underfilled once a point nears its stop rule; packing keeps every
+    lane busy until the LAST point finishes."""
+    dec_cfg = sim.decoder
+    mesh = mesh or get_mesh()
+    B = sim.batch_per_device * mesh.devices.size
+    shard = batch_sharding(mesh, 3)
+    decode = _pick_binary_decode(code, dec_cfg)
+    msg_cols = code.L - code.J if dec_cfg.message_only else code.L
+    dtype = jnp.dtype(dec_cfg.msg_dtype)
+
+    def step(key, sigma_vec, pid_vec):
+        noise = jax.random.normal(key, (B, code.L, code.Z), dtype=jnp.float32)
+        chan = 1.0 + sigma_vec[:, None, None] * noise     # all-zero codeword
+        chan = jax.lax.with_sharding_constraint(chan, shard)
+        res = decode(chan, code, dec_cfg.max_iters, alpha=dec_cfg.alpha,
+                     beta=dec_cfg.beta, check=dec_cfg.check, msg_dtype=dtype)
+        errbits = jnp.sum(res.hard[:, :msg_cols].astype(jnp.int32),
+                          axis=(1, 2))
+        has_err = errbits > 0
+        frame_err = (has_err | ~res.ok).astype(jnp.int32)
+        false_f = (has_err & res.ok).astype(jnp.int32)
+        alarm_f = (~has_err & ~res.ok).astype(jnp.int32)
+        ones = jnp.ones_like(errbits)
+        per_frame = jnp.stack([ones, frame_err, errbits, false_f, alarm_f],
+                              axis=1)                     # [B, 5]
+        seg = jax.ops.segment_sum(per_frame, pid_vec, num_segments=n_points)
+        return seg, res.iters.astype(jnp.int32)
+
+    return jax.jit(step), B
+
+
+def run_binary_sweep_packed(sim: cfg.BinarySimConfig, mesh=None,
+                            out_dir: str | None = None,
+                            quiet: bool = False) -> SweepResult:
+    """Run ALL SNR points of a binary sweep concurrently in packed batches."""
+    if sim.tx != "zero":
+        raise NotImplementedError("packed sweep currently uses the all-zero "
+                                  "codeword (like the reference)")
+    code = QCBinaryCode.from_registry(sim.code)
+    sweep = sim.sweep
+    points = sweep.snr_points()
+    S = len(points)
+    fn, B = make_binary_packed_step(code, sim, S, mesh)
+    sigmas = np.array([channel.sigma_from_snr(s, code.rate, sweep.snr_type)
+                       for s in points], dtype=np.float32)
+    base = jax.random.fold_in(jax.random.PRNGKey(sweep.seed),
+                              jax.process_index())
+    msg_cols = code.L - code.J if sim.decoder.message_only else code.L
+    stats = [SnrStats(snr=s) for s in points]
+    for st in stats:
+        st._units = msg_cols * code.Z
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    _write_logo("binary", [
+        f" code: {code!r}  [PACKED multi-SNR sweep, {S} points/batch]",
+        f" decoder: {sim.decoder.schedule} min-sum, maxIT="
+        f"{sim.decoder.max_iters}, check={sim.decoder.check}",
+        f" sweep: {sweep.snr_type} {sweep.snr_start}:{sweep.snr_step}:"
+        f"{sweep.snr_stop}, stop at >={sweep.least_error_frames} errors & "
+        f">={sweep.least_test_frames} frames, seed={sweep.seed}",
+    ], out_dir, quiet)
+
+    def unfinished():
+        return [i for i, st in enumerate(stats)
+                if not (st.error_frames >= sweep.least_error_frames
+                        and st.frames >= sweep.least_test_frames)
+                and st.frames < sweep.max_frames]
+
+    bi = 0
+    while True:
+        active = unfinished()
+        if not active:
+            break
+        # equal split of the batch over active points (deterministic layout)
+        pid = np.asarray(active, dtype=np.int32)[
+            np.arange(B) % len(active)]
+        key = jax.random.fold_in(base, bi)
+        t0 = time.perf_counter()
+        seg, iters = fn(key, jnp.asarray(sigmas[pid]), jnp.asarray(pid))
+        seg = np.asarray(seg)
+        secs = time.perf_counter() - t0
+        it = int(iters)
+        for i in active:
+            nf, ef, eu, ff, af = (int(x) for x in seg[i])
+            st = stats[i]
+            st.frames += nf
+            st.error_frames += ef
+            st.error_units += eu
+            st.false_frames += ff
+            st.alarm_frames += af
+            st.iter_sum += it * nf
+            st.decode_s += secs * nf / B
+            st.info_bits += nf * code.k
+        bi += 1
+    rows = []
+    for st in stats:
+        _emit(st.row("binary"), st.to_dict("binary"), out_dir, quiet)
+        rows.append(st.to_dict("binary"))
+    return SweepResult(rows=rows)
+
+
 # --------------------------------------------------------------------------
 # non-binary simulator
 # --------------------------------------------------------------------------

@@ -65,6 +65,20 @@ def test_binary_sweep_sharded_mesh():
     assert res.rows[0]["frames"] % (8 * simcfg.batch_per_device) == 0
 
 
+def test_binary_packed_sweep_matches_sequential_statistically():
+    simcfg = tiny_binary_cfg()
+    simcfg.sweep.snr_start, simcfg.sweep.snr_stop = 3.6, 4.1
+    simcfg.sweep.snr_type = "ebn0"
+    packed = sim.run_binary_sweep_packed(simcfg, quiet=True)
+    seq = sim.run_binary_sweep(simcfg, quiet=True)
+    assert len(packed.rows) == len(seq.rows) == 2
+    for a, b in zip(packed.rows, seq.rows):
+        assert a["snr"] == b["snr"]
+        assert a["frames"] >= 64
+        # same stop rule ballpark; FERs within loose statistical agreement
+        assert abs(a["fer"] - b["fer"]) < 0.35
+
+
 def test_nb_sweep_runs(tmp_path):
     simcfg = cfg.NBSimConfig(
         code="LDPC_N96_K48_GF256_d1_exp",
