@@ -32,9 +32,18 @@ def main() -> int:
                                            "bfloat16") == "bfloat16" else jnp.float32
 
     kernel = os.environ.get("BENCH_KERNEL", "auto")
-    decode = minsum.make_flooding_fn(code, iters, check="zero",
-                                     early_stop=False, msg_dtype=dtype,
-                                     kernel=kernel)
+    schedule = os.environ.get("BENCH_SCHEDULE", "flooding")
+    if schedule == "layered":
+        import functools
+
+        from cuda_ldpc_tpu.ops import pallas_minsum
+        decode = jax.jit(functools.partial(
+            pallas_minsum.decode_layered, code=code, num_iters=iters,
+            check="zero", early_stop=False, msg_dtype=dtype))
+    else:
+        decode = minsum.make_flooding_fn(code, iters, check="zero",
+                                         early_stop=False, msg_dtype=dtype,
+                                         kernel=kernel)
 
     reps = int(os.environ.get("BENCH_REPS", "5"))
     chans = [1.0 + 0.6 * jax.random.normal(jax.random.PRNGKey(i),
