@@ -19,7 +19,11 @@ from cuda_ldpc_tpu.utils import registry
 
 
 def _parse_snr(spec: str):
-    parts = [float(p) for p in spec.split(":")]
+    try:
+        parts = [float(p) for p in spec.split(":")]
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"invalid SNR spec {spec!r}: must be 'x' or 'start:step:stop'")
     if len(parts) == 1:
         return parts[0], 1.0, parts[0]
     if len(parts) == 3:
@@ -28,7 +32,7 @@ def _parse_snr(spec: str):
 
 
 def _add_sweep_args(p, d: cfg.SweepConfig):
-    p.add_argument("--snr", default=None,
+    p.add_argument("--snr", default=None, type=_parse_snr,
                    help=f"start:step:stop (default "
                         f"{d.snr_start}:{d.snr_step}:{d.snr_stop})")
     p.add_argument("--snr-type", choices=["ebn0", "esn0"], default=d.snr_type)
@@ -54,7 +58,7 @@ def _sweep_from(args, d: cfg.SweepConfig) -> cfg.SweepConfig:
         display_step=args.display_step, seed=args.seed,
         snr_start=d.snr_start, snr_step=d.snr_step, snr_stop=d.snr_stop)
     if args.snr:
-        s.snr_start, s.snr_step, s.snr_stop = _parse_snr(args.snr)
+        s.snr_start, s.snr_step, s.snr_stop = args.snr
     return s
 
 
@@ -106,6 +110,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=[2, 64, 256])
     n.add_argument("--batch", type=int, default=nd.batch_per_device)
     n.add_argument("--tx", choices=["zero", "fixture"], default=nd.tx)
+    n.add_argument("--packed", action="store_true",
+                   help="run all SNR points concurrently in packed batches")
     _add_sweep_args(n, nd.sweep)
 
     sub.add_parser("list-codes", help="list registered code assets")
@@ -154,9 +160,13 @@ def main(argv=None) -> int:
                                         nc=args.nc, max_iters=args.max_iters),
             sweep=_sweep_from(args, cfg.NBSimConfig().sweep),
             n_qam=args.n_qam, batch_per_device=args.batch, tx=args.tx)
-        res = simmod.run_nb_sweep(simcfg, out_dir=args.out_dir,
-                                  checkpoint=args.checkpoint,
-                                  quiet=args.quiet)
+        if args.packed:
+            res = simmod.run_nb_sweep_packed(simcfg, out_dir=args.out_dir,
+                                             quiet=args.quiet)
+        else:
+            res = simmod.run_nb_sweep(simcfg, out_dir=args.out_dir,
+                                      checkpoint=args.checkpoint,
+                                      quiet=args.quiet)
     return 0
 
 

@@ -48,9 +48,10 @@ def _bit_masks(q: int) -> np.ndarray:
     return ((np.arange(q)[:, None] >> np.arange(q_bit)) & 1).astype(np.float32)
 
 
-def llr_bpsk(y_real: jax.Array, sigma: float, q: int) -> jax.Array:
+def llr_bpsk(y_real: jax.Array, sigma, q: int) -> jax.Array:
     """BPSK symbol LLRs. y_real: [..., N, q_bit] real channel samples (one per
     bit, symbol-major LSB-first).  Returns [..., N, q] with L[..., 0] = 0.
+    ``sigma``: scalar or broadcastable (e.g. [B, 1, 1] for per-frame noise).
 
     Per-bit LLR is -2 y / sigma^2, symbol LLR the sum over set bits
     (myNBLDPC/src/LDPC_Decoder.cpp:139-158)."""
@@ -60,7 +61,7 @@ def llr_bpsk(y_real: jax.Array, sigma: float, q: int) -> jax.Array:
                       precision=jax.lax.Precision.HIGHEST)
 
 
-def llr_qam(y: jax.Array, sigma: float, points: np.ndarray) -> jax.Array:
+def llr_qam(y: jax.Array, sigma, points: np.ndarray) -> jax.Array:
     """QAM symbol LLRs from constellation geometry. y: [..., N, 2] (re, im).
     L[s] = ((2Re(y)-Re(c0)-Re(cs))(Re(cs)-Re(c0)) + (same for Im)) / (2 sigma^2)
     == (|y-c0|^2 - |y-cs|^2) / (2 sigma^2)   (myNBLDPC/src/LDPC_Decoder.cpp:162-168).
@@ -74,22 +75,26 @@ def llr_qam(y: jax.Array, sigma: float, points: np.ndarray) -> jax.Array:
 
 
 def nb_channel_llr(key: jax.Array, tx_labels: np.ndarray, points: np.ndarray,
-                   sigma: float, batch: int, q: int) -> jax.Array:
+                   sigma, batch: int, q: int) -> jax.Array:
     """Modulate a fixed symbol/bit label sequence, add complex AWGN, demap to
     symbol LLRs.  tx_labels: [N] symbols (QAM) or [N*q_bit] bits (BPSK).
-    Returns [batch, N, q].
+    ``sigma``: scalar, or a [batch] vector for per-frame noise levels (packed
+    multi-SNR sweeps).  Returns [batch, N, q].
 
     BPSK only uses the real noise component for the LLR (the reference draws a
     complex sample per bit but demaps from .Real only, LDPC_Decoder.cpp:142)."""
     tx = modulate(tx_labels, points)
+    sig = jnp.asarray(sigma, dtype=jnp.float32)
+    per_frame = sig.ndim == 1
     if len(points) == 2:                             # BPSK: one sample per bit
         q_bit = q.bit_length() - 1
         x = jnp.asarray(tx.real, dtype=jnp.float32)  # [N*q_bit]
         noise = jax.random.normal(key, (batch, x.shape[0]), dtype=jnp.float32)
-        y = x[None] + sigma * noise
-        return llr_bpsk(y.reshape(batch, -1, q_bit), sigma, q)
+        y = x[None] + (sig[:, None] if per_frame else sig) * noise
+        return llr_bpsk(y.reshape(batch, -1, q_bit),
+                        sig[:, None, None] if per_frame else sig, q)
     x = jnp.stack([jnp.asarray(tx.real), jnp.asarray(tx.imag)], axis=-1)
     x = x.astype(jnp.float32)                        # [N, 2]
     noise = jax.random.normal(key, (batch,) + x.shape, dtype=jnp.float32)
-    y = x[None] + sigma * noise
-    return llr_qam(y, sigma, points)
+    y = x[None] + (sig[:, None, None] if per_frame else sig) * noise
+    return llr_qam(y, sig[:, None, None] if per_frame else sig, points)

@@ -65,6 +65,7 @@ class _Graph(NamedTuple):
     h_perm: np.ndarray      # [M, dc, q]: k -> h*k  (all-0 rows on masked edges)
     hinv_perm: np.ndarray   # [M, dc, q]: v -> h^-1 * v
     xor_table: np.ndarray   # [q, q]
+    h_onehot: np.ndarray    # [M, dc, q, q]: P[k, v] = (v == h*k), uint8
 
 
 def build_graph(code: NBCode) -> _Graph:
@@ -72,12 +73,15 @@ def build_graph(code: NBCode) -> _Graph:
     inv = code.inv_table
     h = code.cn_gf                              # [M, dc]
     vn_gather = code.vn_links * code.max_dc + code.vn_slot
+    h_perm = mul[h].astype(np.int32)
+    h_onehot = np.eye(code.q, dtype=np.uint8)[h_perm]   # [M, dc, q(k), q(v)]
     return _Graph(q=code.q, N=code.n_sym, M=code.m_sym, dv=code.max_dv,
                   dc=code.max_dc, vn_gather=vn_gather, vn_mask=code.vn_mask,
                   cn_links=code.cn_links, cn_mask=code.cn_mask,
-                  h_perm=mul[h].astype(np.int32),
+                  h_perm=h_perm,
                   hinv_perm=mul[inv[h]].astype(np.int32),
-                  xor_table=code.xor_table.astype(np.int32))
+                  xor_table=code.xor_table.astype(np.int32),
+                  h_onehot=h_onehot)
 
 
 # --------------------------------------------------------------------------
@@ -107,24 +111,51 @@ def _syndrome_ok(g: _Graph, hard: jax.Array) -> jax.Array:
 
 
 def _cn_domain(v2c_cn, hinv_perm, maskq, pad):
-    """VN-symbol-indexed messages -> CN-domain U[d][v] = msg[d][h^-1 v]."""
+    """VN-symbol-indexed messages -> CN-domain U[d][v] = msg[d][h^-1 v].
+    (gather form; the hot decoders use `_perm_mxu` instead)."""
     perm = jnp.broadcast_to(hinv_perm, v2c_cn.shape)
     U = jnp.take_along_axis(v2c_cn, perm, axis=-1)
     return jnp.where(maskq, U, pad)
 
 
+def _perm_fwd(x, h_onehot):
+    """y[k] = x[h*k] as a one-hot contraction on the MXU (TPU gathers along q
+    are serial and dominate the runtime; a [q, q] one-hot matmul is ~free).
+    x: [B, M', dc, q(v)]; h_onehot: [M', dc, q(k), q(v)] -> [B, M', dc, q(k)]."""
+    return jnp.einsum("bmdv,mdkv->bmdk", x, h_onehot,
+                      preferred_element_type=x.dtype)
+
+
+def _perm_inv(x, h_onehot):
+    """y[v] = x[h^-1 v]  (same one-hot tensor, transposed contraction).
+    x: [B, M', dc, q(s)] -> [B, M', dc, q(v)] with y[v] = x[s] where v=h*s."""
+    return jnp.einsum("bmds,mdsv->bmdv", x, h_onehot,
+                      preferred_element_type=x.dtype)
+
+
 def _xor_shift(x: jax.Array, s: jax.Array) -> jax.Array:
-    """x[..., y] -> x[..., y ^ s] along the trailing q axis (GF add == XOR)."""
+    """x[..., y] -> x[..., y ^ s] along the trailing q axis (GF add == XOR).
+
+    Implemented as log2(q) conditional block-swaps instead of a gather: XOR
+    with bit b of s swaps adjacent index blocks of size 2^b, so each bit is a
+    static flip selected per element by that bit of s.  All vector selects —
+    no serial gather in the hot loop."""
     q = x.shape[-1]
-    idx = jnp.bitwise_xor(jnp.arange(q, dtype=jnp.int32), s[..., None])
-    return jnp.take_along_axis(x, idx, axis=-1)
+    nbits = q.bit_length() - 1
+    for b in range(nbits):
+        stride = 1 << b
+        xr = x.reshape(x.shape[:-1] + (q // (2 * stride), 2, stride))
+        swapped = jnp.flip(xr, axis=-2).reshape(x.shape)
+        bit = ((s >> b) & 1).astype(bool)[..., None]
+        x = jnp.where(bit, swapped, x)
+    return x
 
 
 # --------------------------------------------------------------------------
 # EMS check-node core (conf(q,1) + conf(Nm,Nc)) in the delta domain
 # --------------------------------------------------------------------------
 
-def _ems_cn_core(v2c_cn, mask, h_perm, hinv_perm, nm: int, nc: int, dc: int,
+def _ems_cn_core(v2c_cn, mask, h_onehot, nm: int, nc: int, dc: int,
                  q: int):
     """One EMS CN update.  v2c_cn: [B, M', dc, q] VN-symbol-domain messages
     (L[0]=0 convention); mask [M', dc] bool; h_perm/hinv_perm [M', dc, q].
@@ -143,7 +174,7 @@ def _ems_cn_core(v2c_cn, mask, h_perm, hinv_perm, nm: int, nc: int, dc: int,
     Output: c2v[k] = (D[h*k ^ g0] - D[g0]) / 1.2 with g0 the baseline GF value
     excluding the output edge."""
     maskq = mask[None, :, :, None]
-    U = _cn_domain(v2c_cn, hinv_perm[None], maskq, NEG)  # [B, M', dc, q]
+    U = jnp.where(maskq, _perm_inv(v2c_cn, h_onehot), NEG)  # [B, M', dc, q]
     c0 = jnp.argmax(U, axis=-1).astype(jnp.int32)        # [B, M', dc]
     v0 = jnp.max(U, axis=-1)
     W = _xor_shift(U, c0) - v0[..., None]
@@ -191,10 +222,9 @@ def _ems_cn_core(v2c_cn, mask, h_perm, hinv_perm, nm: int, nc: int, dc: int,
         call = jnp.bitwise_xor(call, c0m[:, :, d])
     g0 = jnp.bitwise_xor(call[:, :, None], c0m)          # [B, M', dc]
 
-    hp = jnp.broadcast_to(h_perm[None], D.shape)
-    idx = jnp.bitwise_xor(hp, g0[..., None])
-    Dg = jnp.take_along_axis(D, idx, axis=-1)
-    D0 = jnp.take_along_axis(D, g0[..., None], axis=-1)
+    D_shift = _xor_shift(D, g0)                  # D_shift[y] = D[y ^ g0]
+    Dg = _perm_fwd(D_shift, h_onehot)            # Dg[k] = D[h*k ^ g0]
+    D0 = D_shift[..., 0:1]                       # D[g0]
     c2v = (Dg - D0) * (1.0 / 1.2)
     return jnp.where(maskq, c2v, 0.0)
 
@@ -205,16 +235,14 @@ def _maxconv(A: jax.Array, Bm: jax.Array, xor_table: jax.Array) -> jax.Array:
     return jnp.max(A[..., :, None] + Bg, axis=-2)
 
 
-def _ems_full_cn_core(v2c_cn, mask, h_perm, hinv_perm, xor_table, dc: int,
-                      q: int):
+def _ems_full_cn_core(v2c_cn, mask, h_onehot, xor_table, dc: int, q: int):
     """Full-configuration EMS (the reference's decoder_method=2: Nm=q,
     Nc=dc-1, Simulation.cpp:64) via exclusive forward/backward max-convolution
     products — mathematically identical to the unrestricted ConstructConf
     enumeration, polynomial instead of exponential."""
     maskq = mask[None, :, :, None]
-    U = _cn_domain(v2c_cn, hinv_perm[None], maskq, NEG)
     ident = jnp.where(jnp.arange(q) == 0, 0.0, NEG)      # max-conv identity
-    U = jnp.where(maskq, U, ident)
+    U = jnp.where(maskq, _perm_inv(v2c_cn, h_onehot), ident)
     fwd = [jnp.broadcast_to(ident, U[:, :, 0].shape)]
     for d in range(dc - 1):
         fwd.append(_maxconv(fwd[-1], U[:, :, d], xor_table))
@@ -224,8 +252,7 @@ def _ems_full_cn_core(v2c_cn, mask, h_perm, hinv_perm, xor_table, dc: int,
     bwd = bwd[::-1]
     excl = jnp.stack([_maxconv(fwd[d], bwd[d], xor_table) for d in range(dc)],
                      axis=2)                             # [B, M', dc, q]
-    hp = jnp.broadcast_to(h_perm[None], excl.shape)
-    Eg = jnp.take_along_axis(excl, hp, axis=-1)
+    Eg = _perm_fwd(excl, h_onehot)
     c2v = (Eg - excl[..., 0:1]) * (1.0 / 1.2)
     return jnp.where(maskq, c2v, 0.0)
 
@@ -234,7 +261,7 @@ def _ems_full_cn_core(v2c_cn, mask, h_perm, hinv_perm, xor_table, dc: int,
 # TMM check-node core (min domain)
 # --------------------------------------------------------------------------
 
-def _tmm_cn_core(v2c_cn, mask, h_perm, hinv_perm, xor_table, dc: int, q: int):
+def _tmm_cn_core(v2c_cn, mask, h_perm, h_onehot, xor_table, dc: int, q: int):
     """One TMM CN update on min-domain messages [B, M', dc, q] (VN symbol
     domain).  Mirrors d_TMM_Get_Zn / Get_deltaU / Get_Min / ConstructConf and
     the I/E path-select output with x0.8 damping
@@ -255,7 +282,7 @@ def _tmm_cn_core(v2c_cn, mask, h_perm, hinv_perm, xor_table, dc: int, q: int):
         syn = jnp.bitwise_xor(syn, Zn[:, :, d])          # [B, M']
 
     # delta domain: dU[d][eta] = U[eta ^ Zn[d]] - min   (:725-743)
-    U = _cn_domain(v2c_cn, hinv_perm[None], maskq, POS)
+    U = jnp.where(maskq, _perm_inv(v2c_cn, h_onehot), POS)
     dU = _xor_shift(U, Zn) - vmin[..., None]
     dU = jnp.where(maskq, dU, POS)
 
@@ -295,9 +322,8 @@ def _tmm_cn_core(v2c_cn, mask, h_perm, hinv_perm, xor_table, dc: int, q: int):
     Lc2p = jnp.where(on_path, E[:, :, None, :], I[:, :, None, :])
     Lc2p = jnp.where(jnp.arange(q) == 0, 0.0, Lc2p)      # [B, M', dc, q(eta)]
     beta_syn = jnp.bitwise_xor(syn[:, :, None], Zn)      # [B, M', dc]
-    idx = jnp.bitwise_xor(jnp.broadcast_to(hp, Lc2p.shape),
-                          beta_syn[..., None])
-    c2v = 0.8 * jnp.take_along_axis(Lc2p, idx, axis=-1)
+    # c2v[v] = Lc2p[h*v ^ beta_syn]: xor-shift then static h permutation
+    c2v = 0.8 * _perm_fwd(_xor_shift(Lc2p, beta_syn), h_onehot)
     return jnp.where(maskq, c2v, 0.0)
 
 
@@ -353,7 +379,7 @@ def decode_ems(L_ch: jax.Array, code: NBCode, max_iters: int, nm: int = 2,
     L_ch = L_ch.astype(jnp.float32)
     mask = jnp.asarray(g.cn_mask)
     h_perm = jnp.asarray(g.h_perm)
-    hinv_perm = jnp.asarray(g.hinv_perm)
+    h_onehot = jnp.asarray(g.h_onehot, dtype=jnp.float32)
     xor_table = jnp.asarray(g.xor_table)
 
     def decide(c2v_cn):
@@ -365,10 +391,10 @@ def decode_ems(L_ch: jax.Array, code: NBCode, max_iters: int, nm: int = 2,
     def step(c2v_cn, llr, cont):
         v2c = llr[:, g.cn_links] - c2v_cn                # [B, M, dc, q]
         if full:
-            new = _ems_full_cn_core(v2c, mask, h_perm, hinv_perm, xor_table,
+            new = _ems_full_cn_core(v2c, mask, h_onehot, xor_table,
                                     g.dc, g.q)
         else:
-            new = _ems_cn_core(v2c, mask, h_perm, hinv_perm, nm, nc, g.dc, g.q)
+            new = _ems_cn_core(v2c, mask, h_onehot, nm, nc, g.dc, g.q)
         return _freeze(cont, new, c2v_cn)
 
     c2v0 = jnp.zeros((B, g.M, g.dc, g.q), dtype=jnp.float32)
@@ -393,7 +419,7 @@ def decode_tmm(L_ch: jax.Array, code: NBCode, max_iters: int,
     Lmin = to_min_domain(L_ch.astype(jnp.float32))
     mask = jnp.asarray(g.cn_mask)
     h_perm = jnp.asarray(g.h_perm)
-    hinv_perm = jnp.asarray(g.hinv_perm)
+    h_onehot = jnp.asarray(g.h_onehot, dtype=jnp.float32)
     xor_table = jnp.asarray(g.xor_table)
 
     def decide(carry):
@@ -404,7 +430,7 @@ def decode_tmm(L_ch: jax.Array, code: NBCode, max_iters: int,
     def step(carry, llr, cont):
         llr_state, c2v_cn = carry
         v2c = llr[:, g.cn_links] - c2v_cn
-        new = _tmm_cn_core(v2c, mask, h_perm, hinv_perm, xor_table, g.dc, g.q)
+        new = _tmm_cn_core(v2c, mask, h_perm, h_onehot, xor_table, g.dc, g.q)
         return (_freeze(cont, llr, llr_state), _freeze(cont, new, c2v_cn))
 
     c2v0 = jnp.zeros((B, g.M, g.dc, g.q), dtype=jnp.float32)
@@ -423,7 +449,7 @@ def decode_layered_tmm(L_ch: jax.Array, code: NBCode, max_iters: int,
     cn_links_j = jnp.asarray(g.cn_links)
     mask_j = jnp.asarray(g.cn_mask)
     h_perm_j = jnp.asarray(g.h_perm)
-    hinv_perm_j = jnp.asarray(g.hinv_perm)
+    h_onehot_j = jnp.asarray(g.h_onehot, dtype=jnp.float32)
     xor_table = jnp.asarray(g.xor_table)
 
     def decide(carry):
@@ -438,10 +464,10 @@ def decode_layered_tmm(L_ch: jax.Array, code: NBCode, max_iters: int,
             links = jax.lax.dynamic_index_in_dim(cn_links_j, m, keepdims=False)
             rmask = jax.lax.dynamic_index_in_dim(mask_j, m)          # [1, dc]
             rh = jax.lax.dynamic_index_in_dim(h_perm_j, m)           # [1, dc, q]
-            rhi = jax.lax.dynamic_index_in_dim(hinv_perm_j, m)
+            roh = jax.lax.dynamic_index_in_dim(h_onehot_j, m)
             llr_row = llr[:, links]                                  # [B, dc, q]
             v2c = llr_row - c2v[:, m]
-            new = _tmm_cn_core(v2c[:, None], rmask, rh, rhi, xor_table,
+            new = _tmm_cn_core(v2c[:, None], rmask, rh, roh, xor_table,
                                g.dc, g.q)[:, 0]                      # [B, dc, q]
             # scatter-add a masked delta: pad edges (links pointing at VN 0)
             # contribute 0, so duplicate indices stay well-defined

@@ -364,44 +364,29 @@ def make_binary_packed_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
         false_f = (has_err & res.ok).astype(jnp.int32)
         alarm_f = (~has_err & ~res.ok).astype(jnp.int32)
         ones = jnp.ones_like(errbits)
-        per_frame = jnp.stack([ones, frame_err, errbits, false_f, alarm_f],
-                              axis=1)                     # [B, 5]
-        seg = jax.ops.segment_sum(per_frame, pid_vec, num_segments=n_points)
-        return seg, res.iters.astype(jnp.int32)
+        iters = jnp.broadcast_to(res.iters.astype(jnp.int32), ones.shape)
+        per_frame = jnp.stack([ones, frame_err, errbits, false_f, alarm_f,
+                               iters], axis=1)            # [B, 6]
+        return jax.ops.segment_sum(per_frame, pid_vec, num_segments=n_points)
 
     return jax.jit(step), B
 
 
-def run_binary_sweep_packed(sim: cfg.BinarySimConfig, mesh=None,
-                            out_dir: str | None = None,
-                            quiet: bool = False) -> SweepResult:
-    """Run ALL SNR points of a binary sweep concurrently in packed batches."""
-    if sim.tx != "zero":
-        raise NotImplementedError("packed sweep currently uses the all-zero "
-                                  "codeword (like the reference)")
-    code = QCBinaryCode.from_registry(sim.code)
-    sweep = sim.sweep
-    points = sweep.snr_points()
-    S = len(points)
-    fn, B = make_binary_packed_step(code, sim, S, mesh)
-    sigmas = np.array([channel.sigma_from_snr(s, code.rate, sweep.snr_type)
-                       for s in points], dtype=np.float32)
+def _run_packed(kind: str, sweep: cfg.SweepConfig, points: list[float],
+                sigmas: np.ndarray, fn, B: int, units_per_frame: int,
+                info_bits_per_frame: int, out_dir, quiet,
+                banner: list[str]) -> SweepResult:
+    """Shared packed-sweep loop: every batch is split over all unfinished SNR
+    points; ``fn(key, sigma_vec, pid_vec) -> [S, 6]`` segment-summed counters
+    (frames, err_frames, err_units, false, alarm, iter_sum)."""
     base = jax.random.fold_in(jax.random.PRNGKey(sweep.seed),
                               jax.process_index())
-    msg_cols = code.L - code.J if sim.decoder.message_only else code.L
     stats = [SnrStats(snr=s) for s in points]
     for st in stats:
-        st._units = msg_cols * code.Z
+        st._units = units_per_frame
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
-    _write_logo("binary", [
-        f" code: {code!r}  [PACKED multi-SNR sweep, {S} points/batch]",
-        f" decoder: {sim.decoder.schedule} min-sum, maxIT="
-        f"{sim.decoder.max_iters}, check={sim.decoder.check}",
-        f" sweep: {sweep.snr_type} {sweep.snr_start}:{sweep.snr_step}:"
-        f"{sweep.snr_stop}, stop at >={sweep.least_error_frames} errors & "
-        f">={sweep.least_test_frames} frames, seed={sweep.seed}",
-    ], out_dir, quiet)
+    _write_logo(kind, banner, out_dir, quiet)
 
     def unfinished():
         return [i for i, st in enumerate(stats)
@@ -415,59 +400,116 @@ def run_binary_sweep_packed(sim: cfg.BinarySimConfig, mesh=None,
         if not active:
             break
         # equal split of the batch over active points (deterministic layout)
-        pid = np.asarray(active, dtype=np.int32)[
-            np.arange(B) % len(active)]
+        pid = np.asarray(active, dtype=np.int32)[np.arange(B) % len(active)]
         key = jax.random.fold_in(base, bi)
         t0 = time.perf_counter()
-        seg, iters = fn(key, jnp.asarray(sigmas[pid]), jnp.asarray(pid))
-        seg = np.asarray(seg)
+        seg = np.asarray(fn(key, jnp.asarray(sigmas[pid]), jnp.asarray(pid)))
         secs = time.perf_counter() - t0
-        it = int(iters)
         for i in active:
-            nf, ef, eu, ff, af = (int(x) for x in seg[i])
+            nf, ef, eu, ff, af, its = (int(x) for x in seg[i])
             st = stats[i]
             st.frames += nf
             st.error_frames += ef
             st.error_units += eu
             st.false_frames += ff
             st.alarm_frames += af
-            st.iter_sum += it * nf
+            st.iter_sum += its
             st.decode_s += secs * nf / B
-            st.info_bits += nf * code.k
+            st.info_bits += nf * info_bits_per_frame
         bi += 1
     rows = []
     for st in stats:
-        _emit(st.row("binary"), st.to_dict("binary"), out_dir, quiet)
-        rows.append(st.to_dict("binary"))
+        _emit(st.row(kind), st.to_dict(kind), out_dir, quiet)
+        rows.append(st.to_dict(kind))
     return SweepResult(rows=rows)
+
+
+def run_binary_sweep_packed(sim: cfg.BinarySimConfig, mesh=None,
+                            out_dir: str | None = None,
+                            quiet: bool = False) -> SweepResult:
+    """Run ALL SNR points of a binary sweep concurrently in packed batches."""
+    if sim.tx != "zero":
+        raise NotImplementedError("packed sweep currently uses the all-zero "
+                                  "codeword (like the reference)")
+    code = QCBinaryCode.from_registry(sim.code)
+    sweep = sim.sweep
+    points = sweep.snr_points()
+    fn, B = make_binary_packed_step(code, sim, len(points), mesh)
+    sigmas = np.array([channel.sigma_from_snr(s, code.rate, sweep.snr_type)
+                       for s in points], dtype=np.float32)
+    msg_cols = code.L - code.J if sim.decoder.message_only else code.L
+    banner = [
+        f" code: {code!r}  [PACKED multi-SNR sweep, {len(points)} points]",
+        f" decoder: {sim.decoder.schedule} min-sum, maxIT="
+        f"{sim.decoder.max_iters}, check={sim.decoder.check}",
+        f" sweep: {sweep.snr_type} {sweep.snr_start}:{sweep.snr_step}:"
+        f"{sweep.snr_stop}, stop at >={sweep.least_error_frames} errors & "
+        f">={sweep.least_test_frames} frames, seed={sweep.seed}",
+    ]
+    return _run_packed("binary", sweep, points, sigmas, fn, B,
+                       msg_cols * code.Z, code.k, out_dir, quiet, banner)
+
+
+def make_nb_packed_step(code: NBCode, sim: cfg.NBSimConfig, n_points: int,
+                        mesh=None):
+    """Packed multi-SNR NB step (per-frame sigma; [S, 6] segment counters)."""
+    dec = sim.decoder
+    mesh = mesh or get_mesh()
+    B = sim.batch_per_device * mesh.devices.size
+    shard = batch_sharding(mesh, 3)
+    pts = constellation(sim.n_qam)
+    tx_labels, tx_syms = _nb_tx(code, sim)
+    tx_dev = jnp.asarray(tx_syms, dtype=jnp.int32)
+    decoder = _nb_decoder_fn(code, dec)
+
+    def step(key, sigma_vec, pid_vec):
+        L = demod.nb_channel_llr(key, tx_labels, pts, sigma_vec, batch=B,
+                                 q=code.q)
+        L = jax.lax.with_sharding_constraint(L, shard)
+        res = decoder(L)
+        errsyms = jnp.sum((res.hard != tx_dev[None]).astype(jnp.int32),
+                          axis=1)
+        has_err = errsyms > 0
+        per_frame = jnp.stack([
+            jnp.ones_like(errsyms), has_err.astype(jnp.int32), errsyms,
+            (has_err & res.ok).astype(jnp.int32),
+            (~has_err & ~res.ok).astype(jnp.int32),
+            res.iters.astype(jnp.int32)], axis=1)
+        return jax.ops.segment_sum(per_frame, pid_vec,
+                                   num_segments=n_points)
+
+    return jax.jit(step), B
+
+
+def run_nb_sweep_packed(sim: cfg.NBSimConfig, mesh=None,
+                        out_dir: str | None = None,
+                        quiet: bool = False) -> SweepResult:
+    code = NBCode.from_registry(sim.code)
+    sweep = sim.sweep
+    points = sweep.snr_points()
+    fn, B = make_nb_packed_step(code, sim, len(points), mesh)
+    bits_per_sym = float(np.log2(sim.n_qam))
+    sigmas = np.array([channel.sigma_from_snr(s, code.rate, sweep.snr_type,
+                                              bits_per_sym) for s in points],
+                      dtype=np.float32)
+    banner = [
+        f" code: {code!r}  [PACKED multi-SNR sweep, {len(points)} points]",
+        f" decoder: {sim.decoder.method}, Nm={sim.decoder.nm}, "
+        f"Nc={sim.decoder.nc}, maxIT={sim.decoder.max_iters}",
+        f" sweep: {sweep.snr_type} {sweep.snr_start}:{sweep.snr_step}:"
+        f"{sweep.snr_stop}, stop at >={sweep.least_error_frames} errors & "
+        f">={sweep.least_test_frames} frames, seed={sweep.seed}",
+    ]
+    return _run_packed("nb", sweep, points, sigmas, fn, B, code.n_sym,
+                       code.k_sym * code.q_bit, out_dir, quiet, banner)
 
 
 # --------------------------------------------------------------------------
 # non-binary simulator
 # --------------------------------------------------------------------------
 
-def make_nb_step(code: NBCode, sim: cfg.NBSimConfig, mesh=None):
-    dec = sim.decoder
-    mesh = mesh or get_mesh()
-    n_dev = mesh.devices.size
-    B = sim.batch_per_device * n_dev
-    shard = batch_sharding(mesh, 3)
-    pts = constellation(sim.n_qam)
-    if sim.tx == "fixture":
-        tx_syms = registry.load_test_codeword(code.n_sym)
-    else:
-        tx_syms = np.zeros(code.n_sym, dtype=int)
-    if sim.n_qam == 2:
-        tx_labels = demod.sym_to_bit(tx_syms, code.q_bit)
-    else:
-        if sim.n_qam != code.q:
-            raise ValueError(
-                f"QAM order {sim.n_qam} must equal GF order {code.q} "
-                "(the reference maps one symbol per constellation point, "
-                "myNBLDPC/src/LDPC_Encoder.cpp:19-36)")
-        tx_labels = tx_syms
-    tx_dev = jnp.asarray(tx_syms, dtype=jnp.int32)
-    decoder = {
+def _nb_decoder_fn(code: NBCode, dec: cfg.NBDecoderConfig):
+    return {
         "ems": lambda L: nb_decode.decode_ems(L, code, dec.max_iters,
                                               nm=dec.nm, nc=dec.nc),
         "ems_full": lambda L: nb_decode.decode_ems(L, code, dec.max_iters,
@@ -476,6 +518,34 @@ def make_nb_step(code: NBCode, sim: cfg.NBSimConfig, mesh=None):
         "layered_tmm": lambda L: nb_decode.decode_layered_tmm(
             L, code, dec.max_iters),
     }[dec.method]
+
+
+def _nb_tx(code: NBCode, sim: cfg.NBSimConfig):
+    """(labels fed to the modulator, tx symbols) for the configured source."""
+    if sim.tx == "fixture":
+        tx_syms = registry.load_test_codeword(code.n_sym)
+    else:
+        tx_syms = np.zeros(code.n_sym, dtype=int)
+    if sim.n_qam == 2:
+        return demod.sym_to_bit(tx_syms, code.q_bit), tx_syms
+    if sim.n_qam != code.q:
+        raise ValueError(
+            f"QAM order {sim.n_qam} must equal GF order {code.q} "
+            "(the reference maps one symbol per constellation point, "
+            "myNBLDPC/src/LDPC_Encoder.cpp:19-36)")
+    return tx_syms, tx_syms
+
+
+def make_nb_step(code: NBCode, sim: cfg.NBSimConfig, mesh=None):
+    dec = sim.decoder
+    mesh = mesh or get_mesh()
+    n_dev = mesh.devices.size
+    B = sim.batch_per_device * n_dev
+    shard = batch_sharding(mesh, 3)
+    pts = constellation(sim.n_qam)
+    tx_labels, tx_syms = _nb_tx(code, sim)
+    tx_dev = jnp.asarray(tx_syms, dtype=jnp.int32)
+    decoder = _nb_decoder_fn(code, dec)
 
     def step(key, sigma):
         L = demod.nb_channel_llr(key, tx_labels, pts, sigma, batch=B, q=code.q)

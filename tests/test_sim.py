@@ -96,6 +96,19 @@ def test_nb_sweep_runs(tmp_path):
     assert line.endswith("sec")
 
 
+def test_nb_packed_sweep_runs():
+    simcfg = cfg.NBSimConfig(
+        code="LDPC_N96_K48_GF256_d1_exp",
+        decoder=cfg.NBDecoderConfig(method="layered_tmm", max_iters=5),
+        sweep=cfg.SweepConfig(snr_start=3.0, snr_step=1.0, snr_stop=4.0,
+                              least_error_frames=1, least_test_frames=16,
+                              max_frames=64, display_step=10**6),
+        batch_per_device=4)
+    res = sim.run_nb_sweep_packed(simcfg, quiet=True)
+    assert len(res.rows) == 2
+    assert all(r["frames"] >= 16 for r in res.rows)
+
+
 def test_nb_fixture_codeword_loads():
     from cuda_ldpc_tpu.utils import registry
     cw = registry.load_test_codeword(96)
