@@ -133,6 +133,24 @@ def _perm_inv(x, h_onehot):
                       preferred_element_type=x.dtype)
 
 
+def _xor_outer(x: jax.Array) -> jax.Array:
+    """x[..., i] -> out[..., i, j] = x[..., i ^ j], gather-free.
+
+    Built by log2(q) doubling steps: column block j ^ 2^b is column block j
+    with index bit b of i flipped, and flipping a constant bit is a static
+    block swap (reshape + flip + concat)."""
+    q = x.shape[-1]
+    out = x[..., :, None]                       # [..., q(i), 1]
+    for b in range(q.bit_length() - 1):
+        stride = 1 << b
+        shape = out.shape
+        xr = out.reshape(shape[:-2] + (q // (2 * stride), 2, stride,
+                                       shape[-1]))
+        sw = jnp.flip(xr, axis=-3).reshape(shape)
+        out = jnp.concatenate([out, sw], axis=-1)
+    return out                                  # [..., q(i), q(j)]
+
+
 def _xor_shift(x: jax.Array, s: jax.Array) -> jax.Array:
     """x[..., y] -> x[..., y ^ s] along the trailing q axis (GF add == XOR).
 
@@ -231,7 +249,7 @@ def _ems_cn_core(v2c_cn, mask, h_onehot, nm: int, nc: int, dc: int,
 
 def _maxconv(A: jax.Array, Bm: jax.Array, xor_table: jax.Array) -> jax.Array:
     """(max,+) convolution over the XOR group: out[x] = max_u A[u] + B[u^x]."""
-    Bg = jnp.take(Bm, xor_table, axis=-1)                # [..., u, x]
+    Bg = jnp.take(Bm, xor_table, axis=-1)                # [..., u, x] = B[u^x]
     return jnp.max(A[..., :, None] + Bg, axis=-2)
 
 
