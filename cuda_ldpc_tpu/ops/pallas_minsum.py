@@ -240,6 +240,17 @@ def _layered_kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
     jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.asarray(False)))
 
 
+def _kernel_dtype(msg_dtype, chan_dtype):
+    """Mosaic limitations pin the in-kernel message dtype to f32: sub-32-bit
+    compares produce i1 layouts the compiler cannot relayout (bf16 ablation),
+    and dynamic_rotate is 32-bit only.  The kernel is VPU-op-bound, not
+    VMEM-bound, so f32 costs nothing; narrower requests are coerced."""
+    want = jnp.dtype(msg_dtype) if msg_dtype is not None else jnp.dtype(chan_dtype)
+    if want.itemsize != 4:
+        return jnp.dtype(jnp.float32)
+    return want
+
+
 def _run_kernel(kernel, chan, code, tile_b, dtype, interpret):
     B, L, Z = chan.shape
     nt = pl.cdiv(B, tile_b)
@@ -283,7 +294,7 @@ def decode_layered(chan: jax.Array, code: QCBinaryCode, num_iters: int,
     """Fused row-layered min-sum (drop-in for minsum.decode_layered)."""
     if not supports(code):
         raise ValueError(f"pallas kernel needs Z % 128 == 0, got Z={code.Z}")
-    dtype = jnp.dtype(msg_dtype) if msg_dtype is not None else chan.dtype
+    dtype = _kernel_dtype(msg_dtype, chan.dtype)
     kernel = functools.partial(_layered_kernel, code=code, num_iters=num_iters,
                                alpha=alpha, beta=beta, check=check,
                                early_stop=early_stop, tile_b=tile_b)
@@ -300,7 +311,7 @@ def decode_flooding(chan: jax.Array, code: QCBinaryCode, num_iters: int,
     iteration count (max over tiles, like the reference's single host loop)."""
     if not supports(code):
         raise ValueError(f"pallas kernel needs Z % 128 == 0, got Z={code.Z}")
-    dtype = jnp.dtype(msg_dtype) if msg_dtype is not None else chan.dtype
+    dtype = _kernel_dtype(msg_dtype, chan.dtype)
     kernel = functools.partial(_kernel, code=code, num_iters=num_iters,
                                alpha=alpha, beta=beta, check=check,
                                early_stop=early_stop, tile_b=tile_b)
