@@ -152,6 +152,26 @@ def test_demod_qam_distance_form():
     np.testing.assert_allclose(L, want, atol=1e-3)
 
 
+def test_qam_channel_end_to_end():
+    """GF(64) code over 64-QAM (one symbol per constellation point, like the
+    reference's Modulate) decodes cleanly at high SNR, fails at very low."""
+    import jax
+    from cuda_ldpc_tpu.models.nb_code import NBCode
+    from cuda_ldpc_tpu.ops import channel
+    from cuda_ldpc_tpu.utils.constellations import constellation
+
+    code = NBCode.from_registry("BDS.576.288.GF.64")
+    pts = constellation(64)
+    tx = np.zeros(code.n_sym, dtype=int)
+    dec = nb_decode.make_decoder(code, method="ems_full", max_iters=10)
+    for ebn0, want_ok in [(16.0, True), (-5.0, False)]:
+        sigma = channel.sigma_from_snr(ebn0, code.rate, "ebn0", 6.0)
+        L = demod.nb_channel_llr(jax.random.PRNGKey(2), tx, pts, sigma,
+                                 batch=4, q=code.q)
+        res = dec(L)
+        assert bool(np.all(np.asarray(res.ok))) == want_ok
+
+
 def test_nb_channel_clean_decodes():
     """End-to-end: modulate the all-zero codeword, tiny noise, EMS decodes in
     0 iterations."""
