@@ -63,7 +63,6 @@ class _Graph(NamedTuple):
     cn_links: np.ndarray    # [M, dc] VN index
     cn_mask: np.ndarray     # [M, dc] bool
     h_perm: np.ndarray      # [M, dc, q]: k -> h*k  (all-0 rows on masked edges)
-    hinv_perm: np.ndarray   # [M, dc, q]: v -> h^-1 * v
     xor_table: np.ndarray   # [q, q]
     h_onehot: np.ndarray    # [M, dc, q, q]: P[k, v] = (v == h*k), uint8
 
@@ -79,7 +78,6 @@ def build_graph(code: NBCode) -> _Graph:
                   dc=code.max_dc, vn_gather=vn_gather, vn_mask=code.vn_mask,
                   cn_links=code.cn_links, cn_mask=code.cn_mask,
                   h_perm=h_perm,
-                  hinv_perm=mul[inv[h]].astype(np.int32),
                   xor_table=code.xor_table.astype(np.int32),
                   h_onehot=h_onehot)
 
@@ -108,14 +106,6 @@ def _syndrome_ok(g: _Graph, hard: jax.Array) -> jax.Array:
     for d in range(1, g.dc):
         syn = jnp.bitwise_xor(syn, contrib[:, :, d])
     return jnp.all(syn == 0, axis=1)
-
-
-def _cn_domain(v2c_cn, hinv_perm, maskq, pad):
-    """VN-symbol-indexed messages -> CN-domain U[d][v] = msg[d][h^-1 v].
-    (gather form; the hot decoders use `_perm_mxu` instead)."""
-    perm = jnp.broadcast_to(hinv_perm, v2c_cn.shape)
-    U = jnp.take_along_axis(v2c_cn, perm, axis=-1)
-    return jnp.where(maskq, U, pad)
 
 
 def _perm_fwd(x, h_onehot):
@@ -176,7 +166,7 @@ def _xor_shift(x: jax.Array, s: jax.Array) -> jax.Array:
 def _ems_cn_core(v2c_cn, mask, h_onehot, nm: int, nc: int, dc: int,
                  q: int):
     """One EMS CN update.  v2c_cn: [B, M', dc, q] VN-symbol-domain messages
-    (L[0]=0 convention); mask [M', dc] bool; h_perm/hinv_perm [M', dc, q].
+    (L[0]=0 convention); mask [M', dc] bool; h_onehot [M', dc, q, q].
     Returns new c2v, same shape/domain, already /1.2.
 
     Equivalence to the reference's ConstructConf enumeration (LDPC_Decoder.cpp:

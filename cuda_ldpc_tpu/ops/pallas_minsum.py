@@ -167,7 +167,7 @@ def _layered_kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
         big = jnp.asarray(3.4e38, dtype)
         for j in range(J):
             idx = code.row_edges[j]
-            negs, mags_r = [], []
+            negs = []
             m1 = jnp.full((tile_b, Z), big, dtype)
             m2 = jnp.full((tile_b, Z), big, dtype)
             am = jnp.zeros((tile_b, Z), jnp.int32)
