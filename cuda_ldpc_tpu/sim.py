@@ -56,6 +56,7 @@ class SnrStats:
     alarm_frames: int = 0        # no bit errors but check failed (FER_Alarm)
     decode_s: float = 0.0
     info_bits: int = 0
+    units_per_frame: int = 1   # bits (binary) or symbols (NB) counted per frame
 
     @property
     def fer(self) -> float:
@@ -63,7 +64,8 @@ class SnrStats:
 
     @property
     def ber(self) -> float:
-        return self.error_units / max(self.frames, 1) / max(self._units, 1)
+        return (self.error_units / max(self.frames, 1)
+                / max(self.units_per_frame, 1))
 
     def row(self, kind: str) -> str:
         avg_it = self.iter_sum / max(self.frames, 1)
@@ -188,13 +190,11 @@ def _run_sweep(kind: str, sweep: cfg.SweepConfig, units_per_frame: int,
         if done is not None:
             rows.append(done)
             continue
-        stats = SnrStats(snr=snr)
-        stats._units = units_per_frame
+        stats = SnrStats(snr=snr, units_per_frame=units_per_frame)
         batch_idx = 0
         cur = ck.current(snr)
         if cur:
             stats = SnrStats(**cur["stats"])
-            stats._units = cur["units"]
             batch_idx = cur["batch_idx"]
         next_display = (stats.frames // sweep.display_step + 1) * sweep.display_step
         while not (stats.error_frames >= sweep.least_error_frames
@@ -381,9 +381,8 @@ def _run_packed(kind: str, sweep: cfg.SweepConfig, points: list[float],
     (frames, err_frames, err_units, false, alarm, iter_sum)."""
     base = jax.random.fold_in(jax.random.PRNGKey(sweep.seed),
                               jax.process_index())
-    stats = [SnrStats(snr=s) for s in points]
-    for st in stats:
-        st._units = units_per_frame
+    stats = [SnrStats(snr=s, units_per_frame=units_per_frame)
+             for s in points]
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
     _write_logo(kind, banner, out_dir, quiet)
