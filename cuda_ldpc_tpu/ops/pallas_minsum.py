@@ -60,21 +60,22 @@ def _kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
     L, Z, J = code.L, code.Z, code.J
     edges = code.edges
     msg_cols = L - J            # zero-check counts message bits (Message_CW=0)
-    dtype = R_ref.dtype
+    store = R_ref.dtype         # scratch storage dtype (f32 or bf16)
+    dtype = jnp.float32         # compute dtype (Mosaic: sub-32-bit compare/rotate unsupported)
 
-    R_ref[...] = jnp.zeros(R_ref.shape, dtype)
+    R_ref[...] = jnp.zeros(R_ref.shape, store)
 
     def vn_phase():
         """Totals per column from chan + incident c2v; returns ok [TB, 1]."""
         for l in range(L):
             t = chan_ref[:, l, :].astype(dtype)
             for e in code.col_edges[l]:
-                t = t + R_ref[e]
-            T_ref[:, l, :] = t
+                t = t + R_ref[e].astype(dtype)
+            T_ref[:, l, :] = t.astype(store)
         hard_any = jnp.zeros((tile_b, 1), jnp.int32)
         if check == "zero":
             for l in range(msg_cols):
-                bits = (T_ref[:, l, :] < 0).astype(jnp.int32)
+                bits = (T_ref[:, l, :].astype(jnp.float32) < 0).astype(jnp.int32)
                 hard_any += jnp.sum(bits, axis=1, keepdims=True)
             return hard_any == 0
         if check == "syndrome":
@@ -83,7 +84,7 @@ def _kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
                 par = None
                 for e in code.row_edges[j]:
                     l, s = int(edges[e, 1]), int(edges[e, 2])
-                    h = (T_ref[:, l, :] < 0).astype(jnp.int32)
+                    h = (T_ref[:, l, :].astype(jnp.float32) < 0).astype(jnp.int32)
                     h = _roll(h, -s, Z)
                     par = h if par is None else jnp.bitwise_xor(par, h)
                 viol += jnp.sum(par, axis=1, keepdims=True)
@@ -100,7 +101,7 @@ def _kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
             am = jnp.zeros((tile_b, Z), jnp.int32)
             for slot, e in enumerate(idx):
                 l, s = int(edges[e, 1]), int(edges[e, 2])
-                q = T_ref[:, l, :] - R_ref[e]
+                q = T_ref[:, l, :].astype(dtype) - R_ref[e].astype(dtype)
                 q = _roll(q, -s, Z)
                 neg = q < 0
                 mag = jnp.abs(q)
@@ -122,13 +123,14 @@ def _kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
                     out = out * jnp.asarray(alpha, dtype)
                 flip = jnp.logical_xor(tot, negs[slot])
                 out = jnp.where(flip, -out, out)
-                R_ref[e] = _roll(out, s, Z)
+                R_ref[e] = _roll(out, s, Z).astype(store)
 
     def body(state):
         it, _ = state
         ok = vn_phase()
         for l in range(L):
-            hard_ref[:, l, :] = (T_ref[:, l, :] < 0).astype(jnp.int8)
+            hard_ref[:, l, :] = (T_ref[:, l, :].astype(jnp.float32)
+                                 < 0).astype(jnp.int8)
         ok_ref[...] = jnp.broadcast_to(ok.astype(jnp.int32),
                                        (tile_b, 128))
         cn_phase()
@@ -157,11 +159,12 @@ def _layered_kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
     L, Z, J = code.L, code.Z, code.J
     edges = code.edges
     msg_cols = L - J
-    dtype = R_ref.dtype
+    store = R_ref.dtype
+    dtype = jnp.float32         # compute dtype (see _kernel_dtype note)
 
-    R_ref[...] = jnp.zeros(R_ref.shape, dtype)
+    R_ref[...] = jnp.zeros(R_ref.shape, store)
     for l in range(L):
-        T_ref[:, l, :] = chan_ref[:, l, :].astype(dtype)
+        T_ref[:, l, :] = chan_ref[:, l, :].astype(store)
 
     def cn_sweep():
         big = jnp.asarray(3.4e38, dtype)
@@ -173,7 +176,7 @@ def _layered_kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
             am = jnp.zeros((tile_b, Z), jnp.int32)
             for slot, e in enumerate(idx):
                 l, s = int(edges[e, 1]), int(edges[e, 2])
-                q = T_ref[:, l, :] - R_ref[e]
+                q = T_ref[:, l, :].astype(dtype) - R_ref[e].astype(dtype)
                 q = _roll(q, -s, Z)
                 neg = q < 0
                 mag = jnp.abs(q)
@@ -195,14 +198,15 @@ def _layered_kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
                 flip = jnp.logical_xor(tot, negs[slot])
                 out = jnp.where(flip, -out, out)
                 new_col = _roll(out, s, Z)
-                T_ref[:, l, :] = T_ref[:, l, :] + new_col - R_ref[e]
-                R_ref[e] = new_col
+                T_ref[:, l, :] = (T_ref[:, l, :].astype(dtype) + new_col
+                                  - R_ref[e].astype(dtype)).astype(store)
+                R_ref[e] = new_col.astype(store)
 
     def decide_ok():
         if check == "zero":
             acc = jnp.zeros((tile_b, 1), jnp.int32)
             for l in range(msg_cols):
-                bits = (T_ref[:, l, :] < 0).astype(jnp.int32)
+                bits = (T_ref[:, l, :].astype(jnp.float32) < 0).astype(jnp.int32)
                 acc += jnp.sum(bits, axis=1, keepdims=True)
             return acc == 0
         if check == "syndrome":
@@ -211,7 +215,7 @@ def _layered_kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
                 par = None
                 for e in code.row_edges[j]:
                     l, s = int(edges[e, 1]), int(edges[e, 2])
-                    h = (T_ref[:, l, :] < 0).astype(jnp.int32)
+                    h = (T_ref[:, l, :].astype(jnp.float32) < 0).astype(jnp.int32)
                     h = _roll(h, -s, Z)
                     par = h if par is None else jnp.bitwise_xor(par, h)
                 viol += jnp.sum(par, axis=1, keepdims=True)
@@ -223,7 +227,8 @@ def _layered_kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
         cn_sweep()
         ok = decide_ok()
         for l in range(L):
-            hard_ref[:, l, :] = (T_ref[:, l, :] < 0).astype(jnp.int8)
+            hard_ref[:, l, :] = (T_ref[:, l, :].astype(jnp.float32)
+                                 < 0).astype(jnp.int8)
         ok_ref[...] = jnp.broadcast_to(ok.astype(jnp.int32), (tile_b, 128))
         iters_ref[...] = jnp.full((tile_b, 128), it + 1, jnp.int32)
         return it + 1, jnp.all(ok)
@@ -241,14 +246,14 @@ def _layered_kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
 
 
 def _kernel_dtype(msg_dtype, chan_dtype):
-    """Mosaic limitations pin the in-kernel message dtype to f32: sub-32-bit
-    compares produce i1 layouts the compiler cannot relayout (bf16 ablation),
-    and dynamic_rotate is 32-bit only.  The kernel is VPU-op-bound, not
-    VMEM-bound, so f32 costs nothing; narrower requests are coerced."""
+    """In-kernel STORAGE dtype (f32 or bf16).  Compute is always f32: Mosaic
+    cannot relayout the i1 masks of sub-32-bit compares and dynamic_rotate is
+    32-bit only, so narrow dtypes only shrink the VMEM scratch (allowing a
+    bigger frame tile), with loads/stores casting at the boundary."""
     want = jnp.dtype(msg_dtype) if msg_dtype is not None else jnp.dtype(chan_dtype)
-    if want.itemsize != 4:
-        return jnp.dtype(jnp.float32)
-    return want
+    if want == jnp.dtype(jnp.bfloat16):
+        return want
+    return jnp.dtype(jnp.float32)
 
 
 def _run_kernel(kernel, chan, code, tile_b, dtype, interpret):
