@@ -154,14 +154,16 @@ def make_flooding_fn(code: QCBinaryCode, num_iters: int, alpha: float = 1.0,
     """Jitted flooding decoder factory.  ``kernel``: 'jnp' forces the pure-jnp
     path; 'pallas' the fused Pallas kernels (TPU only); 'auto' picks pallas on
     TPU when available."""
-    if kernel == "pallas" or (kernel == "auto"
-                              and jax.default_backend() == "tpu"):
+    if kernel in ("pallas", "auto"):
         try:
             from cuda_ldpc_tpu.ops import pallas_minsum
-            return jax.jit(functools.partial(
-                pallas_minsum.decode_flooding, code=code, num_iters=num_iters,
-                alpha=alpha, beta=beta, check=check, early_stop=early_stop,
-                msg_dtype=msg_dtype))
+            use = kernel == "pallas" or (jax.default_backend() == "tpu"
+                                         and pallas_minsum.supports(code))
+            if use:
+                return jax.jit(functools.partial(
+                    pallas_minsum.decode_flooding, code=code,
+                    num_iters=num_iters, alpha=alpha, beta=beta, check=check,
+                    early_stop=early_stop, msg_dtype=msg_dtype))
         except ImportError:
             if kernel == "pallas":
                 raise
