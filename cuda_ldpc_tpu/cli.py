@@ -148,6 +148,7 @@ def main(argv=None) -> int:
             tx=args.tx)
         if args.packed:
             res = simmod.run_binary_sweep_packed(simcfg, out_dir=args.out_dir,
+                                                 checkpoint=args.checkpoint,
                                                  quiet=args.quiet)
         else:
             res = simmod.run_binary_sweep(simcfg, out_dir=args.out_dir,
@@ -162,6 +163,7 @@ def main(argv=None) -> int:
             n_qam=args.n_qam, batch_per_device=args.batch, tx=args.tx)
         if args.packed:
             res = simmod.run_nb_sweep_packed(simcfg, out_dir=args.out_dir,
+                                             checkpoint=args.checkpoint,
                                              quiet=args.quiet)
         else:
             res = simmod.run_nb_sweep(simcfg, out_dir=args.out_dir,

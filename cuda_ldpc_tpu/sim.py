@@ -375,7 +375,8 @@ def make_binary_packed_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
 def _run_packed(kind: str, sweep: cfg.SweepConfig, points: list[float],
                 sigmas: np.ndarray, fn, B: int, units_per_frame: int,
                 info_bits_per_frame: int, out_dir, quiet,
-                banner: list[str]) -> SweepResult:
+                banner: list[str], checkpoint: str | None = None,
+                key_salt: str = "") -> SweepResult:
     """Shared packed-sweep loop: every batch is split over all unfinished SNR
     points; ``fn(key, sigma_vec, pid_vec) -> [S, 6]`` segment-summed counters
     (frames, err_frames, err_units, false, alarm, iter_sum)."""
@@ -383,6 +384,12 @@ def _run_packed(kind: str, sweep: cfg.SweepConfig, points: list[float],
                               jax.process_index())
     stats = [SnrStats(snr=s, units_per_frame=units_per_frame)
              for s in points]
+    ck = _Checkpoint(checkpoint, key_salt) if checkpoint else None
+    bi0 = 0
+    if ck and ck.state.get("packed"):
+        saved = ck.state["packed"]
+        stats = [SnrStats(**d) for d in saved["stats"]]
+        bi0 = saved["batch_idx"]
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
     _write_logo(kind, banner, out_dir, quiet)
@@ -393,7 +400,7 @@ def _run_packed(kind: str, sweep: cfg.SweepConfig, points: list[float],
                         and st.frames >= sweep.least_test_frames)
                 and st.frames < sweep.max_frames]
 
-    bi = 0
+    bi = bi0
     while True:
         active = unfinished()
         if not active:
@@ -416,6 +423,11 @@ def _run_packed(kind: str, sweep: cfg.SweepConfig, points: list[float],
             st.decode_s += secs * nf / B
             st.info_bits += nf * info_bits_per_frame
         bi += 1
+        if ck:
+            ck.state["packed"] = {
+                "stats": [dataclasses.asdict(st) for st in stats],
+                "batch_idx": bi}
+            ck.save(None, 0, 0)
     rows = []
     for st in stats:
         _emit(st.row(kind), st.to_dict(kind), out_dir, quiet)
@@ -425,6 +437,7 @@ def _run_packed(kind: str, sweep: cfg.SweepConfig, points: list[float],
 
 def run_binary_sweep_packed(sim: cfg.BinarySimConfig, mesh=None,
                             out_dir: str | None = None,
+                            checkpoint: str | None = None,
                             quiet: bool = False) -> SweepResult:
     """Run ALL SNR points of a binary sweep concurrently in packed batches."""
     if sim.tx != "zero":
@@ -446,7 +459,10 @@ def run_binary_sweep_packed(sim: cfg.BinarySimConfig, mesh=None,
         f">={sweep.least_test_frames} frames, seed={sweep.seed}",
     ]
     return _run_packed("binary", sweep, points, sigmas, fn, B,
-                       msg_cols * code.Z, code.k, out_dir, quiet, banner)
+                       msg_cols * code.Z, code.k, out_dir, quiet, banner,
+                       checkpoint=checkpoint,
+                       key_salt=_config_key(sim, {"kind": "binary_packed",
+                                                  "B": B}))
 
 
 def make_nb_packed_step(code: NBCode, sim: cfg.NBSimConfig, n_points: int,
@@ -482,6 +498,7 @@ def make_nb_packed_step(code: NBCode, sim: cfg.NBSimConfig, n_points: int,
 
 def run_nb_sweep_packed(sim: cfg.NBSimConfig, mesh=None,
                         out_dir: str | None = None,
+                        checkpoint: str | None = None,
                         quiet: bool = False) -> SweepResult:
     code = NBCode.from_registry(sim.code)
     sweep = sim.sweep
@@ -500,7 +517,10 @@ def run_nb_sweep_packed(sim: cfg.NBSimConfig, mesh=None,
         f">={sweep.least_test_frames} frames, seed={sweep.seed}",
     ]
     return _run_packed("nb", sweep, points, sigmas, fn, B, code.n_sym,
-                       code.k_sym * code.q_bit, out_dir, quiet, banner)
+                       code.k_sym * code.q_bit, out_dir, quiet, banner,
+                       checkpoint=checkpoint,
+                       key_salt=_config_key(sim, {"kind": "nb_packed",
+                                                  "B": B}))
 
 
 # --------------------------------------------------------------------------
