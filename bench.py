@@ -33,17 +33,25 @@ def main() -> int:
 
     kernel = os.environ.get("BENCH_KERNEL", "auto")
     schedule = os.environ.get("BENCH_SCHEDULE", "flooding")
-    if schedule == "layered":
-        import functools
+    tile_b = int(os.environ.get("BENCH_TILE", "8"))
+    import functools
 
-        from cuda_ldpc_tpu.ops import pallas_minsum
+    from cuda_ldpc_tpu.ops import pallas_minsum
+    use_pallas = (kernel in ("auto", "pallas")
+                  and jax.default_backend() == "tpu"
+                  and pallas_minsum.supports(code))
+    if use_pallas:
+        fn = (pallas_minsum.decode_layered if schedule == "layered"
+              else pallas_minsum.decode_flooding)
         decode = jax.jit(functools.partial(
-            pallas_minsum.decode_layered, code=code, num_iters=iters,
-            check="zero", early_stop=False, msg_dtype=dtype))
+            fn, code=code, num_iters=iters, check="zero", early_stop=False,
+            msg_dtype=dtype, tile_b=tile_b))
     else:
-        decode = minsum.make_flooding_fn(code, iters, check="zero",
-                                         early_stop=False, msg_dtype=dtype,
-                                         kernel=kernel)
+        fn = (minsum.decode_layered if schedule == "layered"
+              else minsum.decode_flooding)
+        decode = jax.jit(functools.partial(
+            fn, code=code, num_iters=iters, check="zero", early_stop=False,
+            msg_dtype=dtype))
 
     reps = int(os.environ.get("BENCH_REPS", "5"))
     chans = [1.0 + 0.6 * jax.random.normal(jax.random.PRNGKey(i),
