@@ -66,6 +66,9 @@ def main() -> int:
     res = decode(chans[0])
     np.asarray(res.ok)
 
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     times = []
     for chan in chans:
         t0 = time.perf_counter()
@@ -73,6 +76,8 @@ def main() -> int:
         np.asarray(res.ok)
         times.append(time.perf_counter() - t0)
     dt = min(times)
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     info_bits = B * code.k
     mbps = info_bits / dt / 1e6

@@ -51,6 +51,19 @@ def test_alpha_beta(code):
     np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
 
 
+def test_bf16_storage_close_to_f32(code):
+    """bf16 VMEM storage (f32 compute) quantizes messages; decisions should
+    agree on nearly every bit at a comfortable SNR."""
+    chan = _chan(code, 0.5, 16, seed=9)
+    a = pallas_minsum.decode_flooding(chan, code, 6, check="zero",
+                                      interpret=True)
+    b = pallas_minsum.decode_flooding(chan, code, 6, check="zero",
+                                      msg_dtype=jnp.bfloat16, interpret=True)
+    agree = np.mean(np.asarray(a.hard) == np.asarray(b.hard))
+    assert agree > 0.999
+    assert abs(np.asarray(a.ok).mean() - np.asarray(b.ok).mean()) <= 0.25
+
+
 def test_ragged_batch_padding(code):
     chan = _chan(code, 0.6, 11, seed=5)   # not a multiple of tile_b
     a = minsum.decode_flooding(chan, code, 4, check="zero")
