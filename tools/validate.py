@@ -86,7 +86,7 @@ def main() -> int:
     lines += ["## Binary QC-LDPC (all-zero codeword, BPSK)", ""]
     for code_name, sched, snrs, it in [
             ("J4_L24_Z96", "flooding", (3.0, 3.6, 4.2), 50),
-            ("J15_L30_Z1280", "layered", (2.6, 3.0, 3.4), 25)]:
+            ("J15_L30_Z1280", "layered", (1.4, 1.8, 2.2), 25)]:
         simcfg = cfg.BinarySimConfig(
             code=code_name,
             decoder=cfg.BinaryDecoderConfig(max_iters=it, schedule=sched,
