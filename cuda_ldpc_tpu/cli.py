@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--batch", type=int, default=bd.batch_per_device,
                    help="frames per device per decode call")
     b.add_argument("--no-noise", action="store_true", help="Add_noise=0")
+    b.add_argument("--channel", choices=["jax", "reference"], default="jax",
+                   help="reference: the CUDA reference's exact LCG noise "
+                        "sequence (host-generated; batch must equal its "
+                        "Num_Frames_OneTime for sequence parity)")
     b.add_argument("--packed", action="store_true",
                    help="run all SNR points concurrently in packed batches "
                         "(per-frame sigma; keeps the chip full)")
@@ -145,7 +149,7 @@ def main(argv=None) -> int:
                 kernel=args.kernel, msg_dtype=args.msg_dtype),
             sweep=_sweep_from(args, cfg.BinarySimConfig().sweep),
             batch_per_device=args.batch, add_noise=not args.no_noise,
-            tx=args.tx)
+            tx=args.tx, channel=args.channel)
         if args.packed:
             res = simmod.run_binary_sweep_packed(simcfg, out_dir=args.out_dir,
                                                  checkpoint=args.checkpoint,

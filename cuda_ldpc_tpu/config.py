@@ -88,6 +88,10 @@ class BinarySimConfig:
     add_noise: bool = True            # Add_noise (define.cuh:44)
     tx: str = "zero"                  # 'zero' (the reference's only mode) or
                                       # 'random' (real encoder + syndrome check)
+    channel: str = "jax"              # 'jax' (device threefry) or 'reference'
+                                      # (the CUDA reference's exact host LCG
+                                      # noise sequence, seeds reset per SNR
+                                      # point like bldpc_实习/main.cu:117-119)
 
 
 @dataclasses.dataclass

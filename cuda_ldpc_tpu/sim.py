@@ -296,11 +296,75 @@ def make_binary_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
     return jax.jit(step), B
 
 
+def make_binary_ref_channel_step(code: QCBinaryCode,
+                                 sim: cfg.BinarySimConfig, mesh=None):
+    """Decode-only jitted step for host-generated channel tensors — used by
+    the 'reference' channel mode, which reproduces the CUDA reference's exact
+    LCG/Box-Muller noise sequence (bldpc_实习/LDPC_Encoder.cu:25-56) via the
+    native library (falling back to the pure-Python LCG)."""
+    dec_cfg = sim.decoder
+    mesh = mesh or get_mesh()
+    B = sim.batch_per_device * mesh.devices.size
+    shard = batch_sharding(mesh, 3)
+    decode = _pick_binary_decode(code, dec_cfg)
+    msg_cols = code.L - code.J if dec_cfg.message_only else code.L
+    dtype = jnp.dtype(dec_cfg.msg_dtype)
+
+    def step(chan):
+        chan = jax.lax.with_sharding_constraint(chan, shard)
+        res = decode(chan, code, dec_cfg.max_iters, alpha=dec_cfg.alpha,
+                     beta=dec_cfg.beta, check=dec_cfg.check, msg_dtype=dtype)
+        errbits = jnp.sum(res.hard[:, :msg_cols].astype(jnp.int32),
+                          axis=(1, 2))
+        has_err = errbits > 0
+        return (jnp.sum(errbits),
+                jnp.sum((has_err | ~res.ok).astype(jnp.int32)),
+                jnp.sum((has_err & res.ok).astype(jnp.int32)),
+                jnp.sum((~has_err & ~res.ok).astype(jnp.int32)),
+                res.iters.astype(jnp.int32))
+
+    return jax.jit(step), B
+
+
+def _ref_channel_source(code: QCBinaryCode, B: int):
+    """Per-SNR-point generator of reference-sequence channel batches."""
+    from cuda_ldpc_tpu.utils import lcg as pylcg
+    try:
+        from cuda_ldpc_tpu.utils import native
+        use_native = native.available()
+    except Exception:
+        use_native = False
+    cw = np.zeros(code.n, dtype=np.uint8)
+
+    class Source:
+        def __init__(self):
+            self.seeds = pylcg.DEFAULT_SEEDS
+
+        def reset(self):
+            self.seeds = pylcg.DEFAULT_SEEDS
+
+        def next(self, sigma: float) -> np.ndarray:
+            if use_native:
+                from cuda_ldpc_tpu.utils import native
+                out, self.seeds = native.awgn_binary(cw, sigma, B, self.seeds)
+            else:
+                gen = pylcg.ReferenceLCG(self.seeds)
+                out = pylcg.awgn_binary(gen, cw, sigma, B)
+                self.seeds = tuple(gen.seed)
+            # [CW_Len, B] frame-interleaved -> [B, L, Z]
+            return out.T.reshape(B, code.L, code.Z).astype(np.float32)
+
+    return Source()
+
+
 def run_binary_sweep(sim: cfg.BinarySimConfig, mesh=None,
                      out_dir: str | None = None,
                      checkpoint: str | None = None,
                      quiet: bool = False) -> SweepResult:
     code = QCBinaryCode.from_registry(sim.code)
+    if sim.channel == "reference":
+        return _run_binary_sweep_ref(code, sim, mesh, out_dir, checkpoint,
+                                     quiet)
     fn, B = make_binary_step(code, sim, mesh)
     sweep = sim.sweep
     d = sim.decoder
@@ -332,6 +396,35 @@ def run_binary_sweep(sim: cfg.BinarySimConfig, mesh=None,
                 int(alarmf), secs)
 
     key_salt = _config_key(sim, {"kind": "binary", "B": B})
+    return _run_sweep("binary", sweep, msg_cols * code.Z, code.k, B, step,
+                      out_dir, checkpoint, key_salt, quiet)
+
+
+def _run_binary_sweep_ref(code, sim: cfg.BinarySimConfig, mesh, out_dir,
+                          checkpoint, quiet) -> SweepResult:
+    """Binary sweep with the reference's exact deterministic channel (seeds
+    reset to (173,173,173) at every SNR point).  Batch size must match the
+    reference's Num_Frames_OneTime for sequence-identical batches."""
+    fn, B = make_binary_ref_channel_step(code, sim, mesh)
+    sweep = sim.sweep
+    src = _ref_channel_source(code, B)
+    msg_cols = code.L - code.J if sim.decoder.message_only else code.L
+    state = {"si": -1}
+
+    def step(si, bi, snr):
+        if si != state["si"]:          # new SNR point: reset the LCG
+            src.reset()
+            state["si"] = si
+        sigma = channel.sigma_from_snr(snr, code.rate, sweep.snr_type)
+        chan = jnp.asarray(src.next(sigma))
+        t0 = time.perf_counter()
+        errbits, errf, falsef, alarmf, iters = fn(chan)
+        errbits = int(jax.block_until_ready(errbits))
+        secs = time.perf_counter() - t0
+        return (B, int(errf), errbits, int(iters) * B, int(falsef),
+                int(alarmf), secs)
+
+    key_salt = _config_key(sim, {"kind": "binary_ref", "B": B})
     return _run_sweep("binary", sweep, msg_cols * code.Z, code.k, B, step,
                       out_dir, checkpoint, key_salt, quiet)
 

@@ -96,6 +96,19 @@ def test_nb_sweep_runs(tmp_path):
     assert line.endswith("sec")
 
 
+def test_binary_reference_channel_sweep():
+    """'reference' channel mode: deterministic LCG noise, seeds reset per SNR
+    point — two runs must produce IDENTICAL counters."""
+    simcfg = tiny_binary_cfg(channel="reference")
+    simcfg.sweep.max_frames = 64
+    simcfg.sweep.least_test_frames = 32
+    r1 = sim.run_binary_sweep(simcfg, quiet=True)
+    r2 = sim.run_binary_sweep(simcfg, quiet=True)
+    assert [x["error_units"] for x in r1.rows] == \
+        [x["error_units"] for x in r2.rows]
+    assert [x["frames"] for x in r1.rows] == [x["frames"] for x in r2.rows]
+
+
 def test_nb_packed_sweep_runs():
     simcfg = cfg.NBSimConfig(
         code="LDPC_N96_K48_GF256_d1_exp",
