@@ -28,8 +28,10 @@ def main() -> int:
     platform = jax.devices()[0].platform
     B = int(os.environ.get("BENCH_BATCH", "256" if platform != "cpu" else "8"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    # f32 TB=8 measured fastest (160 Mb/s): bf16 storage costs boundary casts
+    # without helping the VPU-op-bound kernel (see memory/ablation notes)
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE",
-                                           "bfloat16") == "bfloat16" else jnp.float32
+                                           "float32") == "bfloat16" else jnp.float32
 
     kernel = os.environ.get("BENCH_KERNEL", "auto")
     schedule = os.environ.get("BENCH_SCHEDULE", "flooding")

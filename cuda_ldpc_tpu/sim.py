@@ -12,6 +12,8 @@ host loop around jitted, batch-sharded channel+decode steps:
 * output: the reference's console row schema (binary: SNR frames errors FER
   BER avgIT FER_False FER_Alarm; NB: SNR frames errors FER BER avgIT sec/frame,
   Simulation.cpp:281-289), appended to results.txt, plus structured JSONL.
+  (sec/frame here covers the whole jitted channel+decode+stats step; the
+  reference's chrono wraps the decode call only, Simulation.cpp:52-77.)
 * checkpoint/resume: counters persisted after every batch (the reference
   restarts a killed sweep from scratch; partial results only survived as
   results.txt rows — SURVEY.md section 5).
