@@ -43,6 +43,7 @@ from cuda_ldpc_tpu.models.nb_code import NBCode
 
 NEG = -1e30   # finite -inf stand-in (avoids inf-inf NaNs under masking)
 POS = 1e30
+_XOR_CACHE: dict[int, np.ndarray] = {}
 
 
 class NBDecodeResult(NamedTuple):
@@ -197,8 +198,8 @@ def _ems_cn_core(v2c_cn, mask, h_onehot, nm: int, nc: int, dc: int,
     D = jnp.where(am[:, :, None, :] == douts, m2[:, :, None, :],
                   m1[:, :, None, :])                     # [B, M', dc_out, q]
 
-    # conf(Nm, Nc=2): pairs of deviating edges at their top-(Nm-1) other slots
     if nc >= 2 and nm >= 2 and dc >= 3:
+        # top-(Nm-1) non-best slots per edge (the conf(Nm, .) alphabet)
         W0 = jnp.where(jnp.arange(q) == 0, NEG, W)       # forbid the 0 offset
         if nm - 1 == 1:
             P = jnp.max(W0, axis=-1, keepdims=True)      # [B, M', dc, 1]
@@ -207,21 +208,55 @@ def _ems_cn_core(v2c_cn, mask, h_onehot, nm: int, nc: int, dc: int,
             P, O = jax.lax.top_k(W0, nm - 1)
             O = O.astype(jnp.int32)
         yy = jnp.arange(q, dtype=jnp.int32)
-        for a in range(dc):
-            for b in range(a + 1, dc):
-                ok_out = np.array([d != a and d != b for d in range(dc)])
-                sel = jnp.asarray(ok_out)[None, None, :, None]
-                for ka in range(nm - 1):
-                    for kb in range(nm - 1):
-                        val = P[:, :, a, ka] + P[:, :, b, kb]     # [B, M']
-                        off = jnp.bitwise_xor(O[:, :, a, ka], O[:, :, b, kb])
-                        upd = jnp.where(off[..., None] == yy, val[..., None],
-                                        NEG)[:, :, None, :]       # [B, M', 1, q]
-                        D = jnp.where(sel, jnp.maximum(D, upd), D)
+        if nc == 2:
+            # conf(Nm, 2): static unroll over edge pairs
+            for a in range(dc):
+                for b in range(a + 1, dc):
+                    ok_out = np.array([d != a and d != b for d in range(dc)])
+                    sel = jnp.asarray(ok_out)[None, None, :, None]
+                    for ka in range(nm - 1):
+                        for kb in range(nm - 1):
+                            val = P[:, :, a, ka] + P[:, :, b, kb]   # [B, M']
+                            off = jnp.bitwise_xor(O[:, :, a, ka],
+                                                  O[:, :, b, kb])
+                            upd = jnp.where(off[..., None] == yy,
+                                            val[..., None],
+                                            NEG)[:, :, None, :]  # [B, M', 1, q]
+                            D = jnp.where(sel, jnp.maximum(D, upd), D)
+        elif nc == dc - 1:
+            # conf(Nm, dc-1): any subset of edges may deviate within its
+            # top-(Nm-1) slots — the reference's EMS_Nc == maxdc-1 sentinel
+            # (Simulation.cpp:296-299).  Exact via an exclusive forward/
+            # backward (max,+) convolution chain over per-edge clipped delta
+            # messages (0 at offset 0, top-(Nm-1) deltas elsewhere).
+            dev = jnp.full(W.shape, NEG)
+            for k in range(nm - 1):
+                dev = jnp.maximum(dev, jnp.where(
+                    O[..., k, None] == yy, P[..., k, None], NEG))
+            ident = jnp.where(jnp.arange(q) == 0, 0.0, NEG)
+            msg = jnp.maximum(dev, ident)                # deviate or don't
+            msg = jnp.where(maskq, msg, ident)
+            xt = jnp.asarray(_XOR_CACHE.setdefault(
+                q, (np.arange(q)[:, None] ^ np.arange(q)[None, :])
+                .astype(np.int32)))
+            fwd = [jnp.broadcast_to(ident, msg[:, :, 0].shape)]
+            for d in range(dc - 1):
+                fwd.append(_maxconv(fwd[-1], msg[:, :, d], xt))
+            bwd = [jnp.broadcast_to(ident, msg[:, :, 0].shape)]
+            for d in range(dc - 1, 0, -1):
+                bwd.append(_maxconv(bwd[-1], msg[:, :, d], xt))
+            bwd = bwd[::-1]
+            D2 = jnp.stack([_maxconv(fwd[d], bwd[d], xt)
+                            for d in range(dc)], axis=2)
+            D = jnp.maximum(D, D2)
+        else:
+            raise NotImplementedError(
+                "EMS supports Nc in {1, 2, dc-1} (the reference's shipped and "
+                f"sentinel configs) or method='ems_full'; got Nc={nc}")
     elif nc not in (1, 2):
         raise NotImplementedError(
-            "EMS supports Nc in {1, 2} or the full mode (method='ems_full'); "
-            f"got Nc={nc}")
+            "EMS supports Nc in {1, 2, dc-1} or the full mode "
+            f"(method='ems_full'); got Nc={nc}")
 
     # baseline GF value excluding the output edge: g0 = (xor of all c0) ^ c0[dout]
     c0m = jnp.where(mask[None], c0, 0)

@@ -113,16 +113,19 @@ def ems_cn_update(code, llr, c2v_old, nm, nc, full=False):
                         cfg = dict(base)
                         cfg[d] = int(order[d][k])
                         add(cfg)
-                # conf(nm, nc=2): pairs at slots 1..nm-1
+                # conf(nm, nc): every slot vector in [0, nm)^|ins| with at
+                # most nc deviating edges (the reference's ConstructConf
+                # enumeration, LDPC_Decoder.cpp:319-359)
                 if nc >= 2:
-                    for ai in range(len(ins)):
-                        for bi in range(ai + 1, len(ins)):
-                            for ka in range(1, nm):
-                                for kb in range(1, nm):
-                                    cfg = dict(base)
-                                    cfg[ins[ai]] = int(order[ins[ai]][ka])
-                                    cfg[ins[bi]] = int(order[ins[bi]][kb])
-                                    add(cfg)
+                    import itertools
+                    for slots in itertools.product(range(min(nm, q)),
+                                                   repeat=len(ins)):
+                        ndev = sum(1 for k in slots if k != 0)
+                        if ndev < 2 or ndev > nc:
+                            continue   # 0/1-deviation covered by conf(q,1)
+                        cfg = {d: int(order[d][k])
+                               for d, k in zip(ins, slots)}
+                        add(cfg)
             h = code.cn_gf[m, dout]
             out = np.zeros(q)
             for k in range(1, q):

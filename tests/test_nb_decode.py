@@ -68,6 +68,8 @@ def small_code():
     ("ems", dict(nm=2, nc=2)),
     ("ems", dict(nm=3, nc=2)),
     ("ems", dict(nm=2, nc=1)),
+    ("ems", dict(nm=2, nc=3)),      # the reference's Nc == maxdc-1 sentinel
+    ("ems", dict(nm=3, nc=3)),
     ("tmm", {}),
     ("layered_tmm", {}),
 ])
