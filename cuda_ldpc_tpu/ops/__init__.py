@@ -1,1 +1,3 @@
-"""Compute primitives: channel ops, GF(q) ops, min-sum, EMS/TMM, Pallas kernels."""
+from cuda_ldpc_tpu.ops import channel, demod, minsum, nb_decode
+
+__all__ = ["channel", "demod", "minsum", "nb_decode"]
