@@ -26,7 +26,12 @@ def main() -> int:
     code = QCBinaryCode.from_registry(os.environ.get("BENCH_CODE",
                                                      "J15_L30_Z1280"))
     platform = jax.devices()[0].platform
-    B = int(os.environ.get("BENCH_BATCH", "256" if platform != "cpu" else "8"))
+    # Per-call dispatch through the device runtime costs ~25-30 ms flat, so
+    # throughput is batch-amortized: B=256 -> 0.18 Gb/s but B=8192 -> 1.8 Gb/s
+    # (marginal cost ~6-7 us/frame, asymptote ~2.6 Gb/s; B=16384 measured
+    # 2.12 Gb/s).  8192 is the default: past it, returns diminish while buffer
+    # memory doubles.  The reference's own batch is 4096 (define.cuh:60).
+    B = int(os.environ.get("BENCH_BATCH", "8192" if platform != "cpu" else "8"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     # f32 TB=8 measured fastest (160 Mb/s): bf16 storage costs boundary casts
     # without helping the VPU-op-bound kernel (see memory/ablation notes)
@@ -56,10 +61,13 @@ def main() -> int:
             msg_dtype=dtype))
 
     reps = int(os.environ.get("BENCH_REPS", "5"))
-    chans = [1.0 + 0.6 * jax.random.normal(jax.random.PRNGKey(i),
-                                           (B, code.L, code.Z),
-                                           dtype=jnp.float32)
-             for i in range(reps)]
+    # two alternating channel buffers keep device memory bounded at large B
+    # (B=8192 is ~1.26 GB/buffer) while still defeating any per-buffer caching
+    bufs = [1.0 + 0.6 * jax.random.normal(jax.random.PRNGKey(i),
+                                          (B, code.L, code.Z),
+                                          dtype=jnp.float32)
+            for i in range(min(reps, 2))]
+    chans = [bufs[i % len(bufs)] for i in range(reps)]
     import numpy as np
 
     # warm up / compile.  NOTE: completion is forced by fetching the tiny

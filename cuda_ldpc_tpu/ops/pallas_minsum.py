@@ -8,12 +8,22 @@ iterations against a [E, TB, Z] VMEM message buffer, and writes only hard
 decisions + per-frame ok flags back to HBM.  HBM traffic drops to
 L*Z*4 bytes/frame total, making the kernel VPU-bound.
 
+Layout note: ALL per-column buffers are [L, TB, Z] (column-major over the
+tile) so every column slice ``T_ref[l]`` is a native (TB sublane x Z lane)
+tile.  The earlier [TB, L, Z] layout made each slice a strided middle-axis
+gather that Mosaic lowered to per-sublane shuffles — rearranging to [L, TB, Z]
+was worth ~4x wall-time on J15_L30_Z1280.  The host-side [B, L, Z] contract
+is preserved by cheap XLA transposes around the pallas_call.
+
 Numerics are identical to ops/minsum.decode_flooding (which mirrors the
 reference kernels, bldpc_实习/LDPC_Decoder.cu:172-315): VN total = chan + sum
 of c2v, hard = total < 0, v2c = total - c2v; CN two-min with sign product
 writing min2 on the (first) min edge; optional alpha/beta normalization; early
 termination checked on-device per tile ('zero' = the reference's all-zero
-message check, LDPC_Decoder.cu:137-153, or a true 'syndrome' check).
+message check, LDPC_Decoder.cu:137-153, or a true 'syndrome' check).  Hard
+decisions / ok / iteration count are written ONCE after the iteration loop
+(the totals persist in scratch), not per iteration like the reference's
+per-iteration D2H copy.
 
 The circulant permutation is ``pltpu.roll`` along the trailing Z (lane) axis —
 requires Z % 128 == 0 (true for the flagship Z=1280 and the Z=256/512 codes;
@@ -54,99 +64,129 @@ def supports(code: QCBinaryCode) -> bool:
     return code.Z % 128 == 0
 
 
+def _frame_ok(T_ref, code: QCBinaryCode, check: str, tile_b: int):
+    """Per-frame convergence flag [TB, 1] from the totals in T_ref."""
+    L, Z, J = code.L, code.Z, code.J
+    edges = code.edges
+    if check == "zero":            # all-zero-codeword check (LDPC_Decoder.cu:137)
+        acc = jnp.zeros((tile_b, 1), jnp.int32)
+        for l in range(L - J):     # message bits only (Message_CW=0)
+            acc += jnp.sum((T_ref[l].astype(jnp.float32) < 0).astype(jnp.int32),
+                           axis=1, keepdims=True)
+        return acc == 0
+    if check == "syndrome":
+        viol = jnp.zeros((tile_b, 1), jnp.int32)
+        for j in range(J):
+            par = None
+            for e in code.row_edges[j]:
+                l, s = int(edges[e, 1]), int(edges[e, 2])
+                h = (T_ref[l].astype(jnp.float32) < 0).astype(jnp.int32)
+                h = _roll(h, -s, Z)
+                par = h if par is None else jnp.bitwise_xor(par, h)
+            viol += jnp.sum(par, axis=1, keepdims=True)
+        return viol == 0
+    return jnp.zeros((tile_b, 1), jnp.bool_)
+
+
+def _cn_phase(T_ref, R_ref, code: QCBinaryCode, alpha: float, beta: float,
+              tile_b: int, layered: bool):
+    """Two-min + sign-product CN update for every block row.  Flooding reads
+    v2c = T - R and only rewrites R; layered additionally applies the message
+    delta to the running totals row by row (mirrors minsum.decode_layered)."""
+    L, Z = code.L, code.Z
+    edges = code.edges
+    dtype = jnp.float32
+    store = R_ref.dtype
+    big = jnp.asarray(3.4e38, dtype)
+    for j in range(code.J):
+        idx = code.row_edges[j]
+        negs = []
+        m1 = jnp.full((tile_b, Z), big, dtype)
+        m2 = jnp.full((tile_b, Z), big, dtype)
+        am = jnp.zeros((tile_b, Z), jnp.int32)
+        for slot, e in enumerate(idx):
+            l, s = int(edges[e, 1]), int(edges[e, 2])
+            q = T_ref[l].astype(dtype) - R_ref[e].astype(dtype)
+            q = _roll(q, -s, Z)
+            neg = q < 0
+            mag = jnp.abs(q)
+            newmin = mag < m1
+            m2 = jnp.where(newmin, m1, jnp.minimum(m2, mag))
+            am = jnp.where(newmin, slot, am)
+            m1 = jnp.minimum(m1, mag)
+            negs.append(neg)
+        # sign product as XOR of sign masks (cheaper than +-1 multiplies)
+        tot = negs[0]
+        for neg in negs[1:]:
+            tot = jnp.logical_xor(tot, neg)
+        for slot, e in enumerate(idx):
+            l, s = int(edges[e, 1]), int(edges[e, 2])
+            out = jnp.where(am == slot, m2, m1)
+            if beta:
+                out = jnp.maximum(out - jnp.asarray(beta, dtype), 0)
+            if alpha != 1.0:
+                out = out * jnp.asarray(alpha, dtype)
+            flip = jnp.logical_xor(tot, negs[slot])
+            out = jnp.where(flip, -out, out)
+            new_col = _roll(out, s, Z)
+            if layered:
+                T_ref[l] = (T_ref[l].astype(dtype) + new_col
+                            - R_ref[e].astype(dtype)).astype(store)
+            R_ref[e] = new_col.astype(store)
+
+
+def _epilogue(T_ref, hard_ref, ok_ref, iters_ref, code: QCBinaryCode,
+              check: str, tile_b: int, final_it):
+    for l in range(code.L):
+        hard_ref[l] = (T_ref[l].astype(jnp.float32) < 0).astype(jnp.int8)
+    ok = _frame_ok(T_ref, code, check, tile_b)
+    ok_ref[...] = jnp.broadcast_to(ok.astype(jnp.int32), (tile_b, 128))
+    iters_ref[...] = jnp.broadcast_to(
+        final_it.astype(jnp.int32)[None, None], (tile_b, 128))
+
+
 def _kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
             code: QCBinaryCode, num_iters: int, alpha: float, beta: float,
             check: str, early_stop: bool, tile_b: int):
-    L, Z, J = code.L, code.Z, code.J
-    edges = code.edges
-    msg_cols = L - J            # zero-check counts message bits (Message_CW=0)
+    L = code.L
     store = R_ref.dtype         # scratch storage dtype (f32 or bf16)
     dtype = jnp.float32         # compute dtype (Mosaic: sub-32-bit compare/rotate unsupported)
 
     R_ref[...] = jnp.zeros(R_ref.shape, store)
+    for l in range(L):          # 0-iteration safety: totals default to chan
+        T_ref[l] = chan_ref[l].astype(store)
 
-    def vn_phase():
-        """Totals per column from chan + incident c2v; returns ok [TB, 1]."""
+    def vn_totals():
         for l in range(L):
-            t = chan_ref[:, l, :].astype(dtype)
+            t = chan_ref[l].astype(dtype)
             for e in code.col_edges[l]:
                 t = t + R_ref[e].astype(dtype)
-            T_ref[:, l, :] = t.astype(store)
-        hard_any = jnp.zeros((tile_b, 1), jnp.int32)
-        if check == "zero":
-            for l in range(msg_cols):
-                bits = (T_ref[:, l, :].astype(jnp.float32) < 0).astype(jnp.int32)
-                hard_any += jnp.sum(bits, axis=1, keepdims=True)
-            return hard_any == 0
-        if check == "syndrome":
-            viol = jnp.zeros((tile_b, 1), jnp.int32)
-            for j in range(J):
-                par = None
-                for e in code.row_edges[j]:
-                    l, s = int(edges[e, 1]), int(edges[e, 2])
-                    h = (T_ref[:, l, :].astype(jnp.float32) < 0).astype(jnp.int32)
-                    h = _roll(h, -s, Z)
-                    par = h if par is None else jnp.bitwise_xor(par, h)
-                viol += jnp.sum(par, axis=1, keepdims=True)
-            return viol == 0
-        return jnp.zeros((tile_b, 1), jnp.bool_)
+            T_ref[l] = t.astype(store)
 
-    def cn_phase():
-        big = jnp.asarray(3.4e38, dtype)
-        for j in range(J):
-            idx = code.row_edges[j]
-            negs = []
-            m1 = jnp.full((tile_b, Z), big, dtype)
-            m2 = jnp.full((tile_b, Z), big, dtype)
-            am = jnp.zeros((tile_b, Z), jnp.int32)
-            for slot, e in enumerate(idx):
-                l, s = int(edges[e, 1]), int(edges[e, 2])
-                q = T_ref[:, l, :].astype(dtype) - R_ref[e].astype(dtype)
-                q = _roll(q, -s, Z)
-                neg = q < 0
-                mag = jnp.abs(q)
-                newmin = mag < m1
-                m2 = jnp.where(newmin, m1, jnp.minimum(m2, mag))
-                am = jnp.where(newmin, slot, am)
-                m1 = jnp.minimum(m1, mag)
-                negs.append(neg)
-            # sign product as XOR of sign masks (cheaper than +-1 multiplies)
-            tot = negs[0]
-            for neg in negs[1:]:
-                tot = jnp.logical_xor(tot, neg)
-            for slot, e in enumerate(idx):
-                s = int(edges[e, 2])
-                out = jnp.where(am == slot, m2, m1)
-                if beta:
-                    out = jnp.maximum(out - jnp.asarray(beta, dtype), 0)
-                if alpha != 1.0:
-                    out = out * jnp.asarray(alpha, dtype)
-                flip = jnp.logical_xor(tot, negs[slot])
-                out = jnp.where(flip, -out, out)
-                R_ref[e] = _roll(out, s, Z).astype(store)
+    if early_stop and check != "none":
+        def body(state):
+            it, _ = state
+            vn_totals()
+            all_ok = jnp.all(_frame_ok(T_ref, code, check, tile_b))
+            _cn_phase(T_ref, R_ref, code, alpha, beta, tile_b, layered=False)
+            return it + 1, all_ok
 
-    def body(state):
-        it, _ = state
-        ok = vn_phase()
-        for l in range(L):
-            hard_ref[:, l, :] = (T_ref[:, l, :].astype(jnp.float32)
-                                 < 0).astype(jnp.int8)
-        ok_ref[...] = jnp.broadcast_to(ok.astype(jnp.int32),
-                                       (tile_b, 128))
-        cn_phase()
-        iters_ref[...] = jnp.full((tile_b, 128), it + 1, jnp.int32)
-        return it + 1, jnp.all(ok)
+        def cond(state):
+            it, all_ok = state
+            return jnp.logical_and(it < num_iters, jnp.logical_not(all_ok))
 
-    def cond(state):
-        it, all_ok = state
-        live = jnp.logical_not(all_ok) if early_stop and check != "none" \
-            else jnp.asarray(True)
-        return jnp.logical_and(it < num_iters, live)
+        final_it, _ = jax.lax.while_loop(cond, body,
+                                         (jnp.int32(0), jnp.asarray(False)))
+    else:
+        def body(it, carry):
+            vn_totals()
+            _cn_phase(T_ref, R_ref, code, alpha, beta, tile_b, layered=False)
+            return carry
+        jax.lax.fori_loop(0, num_iters, body, jnp.int32(0))
+        final_it = jnp.int32(num_iters)
 
-    iters_ref[...] = jnp.zeros((tile_b, 128), jnp.int32)
-    hard_ref[...] = jnp.zeros(hard_ref.shape, jnp.int8)
-    ok_ref[...] = jnp.zeros((tile_b, 128), jnp.int32)
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.asarray(False)))
+    _epilogue(T_ref, hard_ref, ok_ref, iters_ref, code, check, tile_b,
+              final_it)
 
 
 def _layered_kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
@@ -156,93 +196,35 @@ def _layered_kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
     running totals immediately (mirrors ops/minsum.decode_layered).  No
     separate VN phase — totals live in T_ref across iterations — and layered
     converges in roughly half the flooding iterations."""
-    L, Z, J = code.L, code.Z, code.J
-    edges = code.edges
-    msg_cols = L - J
+    L = code.L
     store = R_ref.dtype
-    dtype = jnp.float32         # compute dtype (see _kernel_dtype note)
 
     R_ref[...] = jnp.zeros(R_ref.shape, store)
     for l in range(L):
-        T_ref[:, l, :] = chan_ref[:, l, :].astype(store)
+        T_ref[l] = chan_ref[l].astype(store)
 
-    def cn_sweep():
-        big = jnp.asarray(3.4e38, dtype)
-        for j in range(J):
-            idx = code.row_edges[j]
-            negs = []
-            m1 = jnp.full((tile_b, Z), big, dtype)
-            m2 = jnp.full((tile_b, Z), big, dtype)
-            am = jnp.zeros((tile_b, Z), jnp.int32)
-            for slot, e in enumerate(idx):
-                l, s = int(edges[e, 1]), int(edges[e, 2])
-                q = T_ref[:, l, :].astype(dtype) - R_ref[e].astype(dtype)
-                q = _roll(q, -s, Z)
-                neg = q < 0
-                mag = jnp.abs(q)
-                newmin = mag < m1
-                m2 = jnp.where(newmin, m1, jnp.minimum(m2, mag))
-                am = jnp.where(newmin, slot, am)
-                m1 = jnp.minimum(m1, mag)
-                negs.append(neg)
-            tot = negs[0]
-            for neg in negs[1:]:
-                tot = jnp.logical_xor(tot, neg)
-            for slot, e in enumerate(idx):
-                l, s = int(edges[e, 1]), int(edges[e, 2])
-                out = jnp.where(am == slot, m2, m1)
-                if beta:
-                    out = jnp.maximum(out - jnp.asarray(beta, dtype), 0)
-                if alpha != 1.0:
-                    out = out * jnp.asarray(alpha, dtype)
-                flip = jnp.logical_xor(tot, negs[slot])
-                out = jnp.where(flip, -out, out)
-                new_col = _roll(out, s, Z)
-                T_ref[:, l, :] = (T_ref[:, l, :].astype(dtype) + new_col
-                                  - R_ref[e].astype(dtype)).astype(store)
-                R_ref[e] = new_col.astype(store)
+    if early_stop and check != "none":
+        def body(state):
+            it, _ = state
+            _cn_phase(T_ref, R_ref, code, alpha, beta, tile_b, layered=True)
+            all_ok = jnp.all(_frame_ok(T_ref, code, check, tile_b))
+            return it + 1, all_ok
 
-    def decide_ok():
-        if check == "zero":
-            acc = jnp.zeros((tile_b, 1), jnp.int32)
-            for l in range(msg_cols):
-                bits = (T_ref[:, l, :].astype(jnp.float32) < 0).astype(jnp.int32)
-                acc += jnp.sum(bits, axis=1, keepdims=True)
-            return acc == 0
-        if check == "syndrome":
-            viol = jnp.zeros((tile_b, 1), jnp.int32)
-            for j in range(J):
-                par = None
-                for e in code.row_edges[j]:
-                    l, s = int(edges[e, 1]), int(edges[e, 2])
-                    h = (T_ref[:, l, :].astype(jnp.float32) < 0).astype(jnp.int32)
-                    h = _roll(h, -s, Z)
-                    par = h if par is None else jnp.bitwise_xor(par, h)
-                viol += jnp.sum(par, axis=1, keepdims=True)
-            return viol == 0
-        return jnp.zeros((tile_b, 1), jnp.bool_)
+        def cond(state):
+            it, all_ok = state
+            return jnp.logical_and(it < num_iters, jnp.logical_not(all_ok))
 
-    def body(state):
-        it, _ = state
-        cn_sweep()
-        ok = decide_ok()
-        for l in range(L):
-            hard_ref[:, l, :] = (T_ref[:, l, :].astype(jnp.float32)
-                                 < 0).astype(jnp.int8)
-        ok_ref[...] = jnp.broadcast_to(ok.astype(jnp.int32), (tile_b, 128))
-        iters_ref[...] = jnp.full((tile_b, 128), it + 1, jnp.int32)
-        return it + 1, jnp.all(ok)
+        final_it, _ = jax.lax.while_loop(cond, body,
+                                         (jnp.int32(0), jnp.asarray(False)))
+    else:
+        def body(it, carry):
+            _cn_phase(T_ref, R_ref, code, alpha, beta, tile_b, layered=True)
+            return carry
+        jax.lax.fori_loop(0, num_iters, body, jnp.int32(0))
+        final_it = jnp.int32(num_iters)
 
-    def cond(state):
-        it, all_ok = state
-        live = jnp.logical_not(all_ok) if early_stop and check != "none" \
-            else jnp.asarray(True)
-        return jnp.logical_and(it < num_iters, live)
-
-    iters_ref[...] = jnp.zeros((tile_b, 128), jnp.int32)
-    hard_ref[...] = jnp.zeros(hard_ref.shape, jnp.int8)
-    ok_ref[...] = jnp.zeros((tile_b, 128), jnp.int32)
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.asarray(False)))
+    _epilogue(T_ref, hard_ref, ok_ref, iters_ref, code, check, tile_b,
+              final_it)
 
 
 def _kernel_dtype(msg_dtype, chan_dtype):
@@ -262,14 +244,16 @@ def _run_kernel(kernel, chan, code, tile_b, dtype, interpret):
     Bp = nt * tile_b
     if Bp != B:
         chan = jnp.pad(chan, ((0, Bp - B), (0, 0), (0, 0)))
-    chan = chan.astype(jnp.float32)
+    # [B, L, Z] -> [L, B, Z] so each in-kernel column slice is a native
+    # (TB sublane x Z lane) tile (see layout note in module docstring)
+    chan = chan.astype(jnp.float32).transpose(1, 0, 2)
     hard, ok, iters = pl.pallas_call(
         kernel,
         grid=(nt,),
-        in_specs=[pl.BlockSpec((tile_b, L, Z), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((L, tile_b, Z), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((tile_b, L, Z), lambda i: (i, 0, 0),
+            pl.BlockSpec((L, tile_b, Z), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -277,17 +261,17 @@ def _run_kernel(kernel, chan, code, tile_b, dtype, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Bp, L, Z), jnp.int8),
+            jax.ShapeDtypeStruct((L, Bp, Z), jnp.int8),
             jax.ShapeDtypeStruct((Bp, 128), jnp.int32),
             jax.ShapeDtypeStruct((Bp, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile_b, L, Z), dtype),               # VN totals
+            pltpu.VMEM((L, tile_b, Z), dtype),               # VN totals
             pltpu.VMEM((code.num_edges, tile_b, Z), dtype),  # c2v messages
         ],
         interpret=interpret,
     )(chan)
-    return DecodeResult(hard[:B], ok[:B, 0].astype(bool),
+    return DecodeResult(hard.transpose(1, 0, 2)[:B], ok[:B, 0].astype(bool),
                         jnp.max(iters[:, 0]).astype(jnp.int32))
 
 
