@@ -181,8 +181,15 @@ def _run_sweep(kind: str, sweep: cfg.SweepConfig, units_per_frame: int,
                info_bits_per_frame: int, batch: int,
                step: Callable, out_dir: str | None, checkpoint: str | None,
                key_salt: str, quiet: bool) -> SweepResult:
-    """Shared sweep loop.  ``step(snr_idx, batch_idx, sigma) ->
-    (n_frames, err_frames, err_units, iter_sum, false_f, alarm_f, seconds)."""
+    """Shared sweep loop.  ``step(snr_idx, batch_idx, sigma)`` LAUNCHES one
+    batch (async jax dispatch) and returns a zero-arg ``collect`` that blocks
+    and returns ``(n_frames, err_frames, err_units, iter_sum, false_f,
+    alarm_f)``.  The loop keeps ONE launched batch in flight so the device
+    computes batch k+1 while batch k's counters travel back to the host
+    (per-call dispatch+fetch costs ~25-30 ms flat — see BENCH.md).  The stop
+    rule is evaluated on collected stats, so each point may run one batch past
+    the rule; those frames are still counted (harmless for MC estimates — the
+    reference itself only checks between batches, Simulation.cu:111-146)."""
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
     ck = _Checkpoint(checkpoint, key_salt)
@@ -198,25 +205,38 @@ def _run_sweep(kind: str, sweep: cfg.SweepConfig, units_per_frame: int,
         if cur:
             stats = SnrStats(**cur["stats"])
             batch_idx = cur["batch_idx"]
+        collected = batch_idx
         next_display = (stats.frames // sweep.display_step + 1) * sweep.display_step
-        while not (stats.error_frames >= sweep.least_error_frames
-                   and stats.frames >= sweep.least_test_frames):
-            if stats.frames >= sweep.max_frames:
+        pending = None
+        t_last = time.perf_counter()
+        while True:
+            stopped = ((stats.error_frames >= sweep.least_error_frames
+                        and stats.frames >= sweep.least_test_frames)
+                       or stats.frames >= sweep.max_frames)
+            nxt = None
+            if not stopped:
+                nxt = step(si, batch_idx, snr)
+                batch_idx += 1
+            if pending is not None:
+                nf, ef, eu, its, ff, af = pending()
+                now = time.perf_counter()
+                stats.frames += nf
+                stats.error_frames += ef
+                stats.error_units += eu
+                stats.iter_sum += its
+                stats.false_frames += ff
+                stats.alarm_frames += af
+                stats.decode_s += now - t_last   # marginal wall time
+                t_last = now
+                stats.info_bits += nf * info_bits_per_frame
+                collected += 1
+                ck.save(stats, collected, units_per_frame)
+                if stats.frames >= next_display:
+                    _emit(stats.row(kind), stats.to_dict(kind), out_dir, quiet)
+                    next_display += sweep.display_step
+            pending = nxt
+            if nxt is None:
                 break
-            nf, ef, eu, its, ff, af, secs = step(si, batch_idx, snr)
-            stats.frames += nf
-            stats.error_frames += ef
-            stats.error_units += eu
-            stats.iter_sum += its
-            stats.false_frames += ff
-            stats.alarm_frames += af
-            stats.decode_s += secs
-            stats.info_bits += nf * info_bits_per_frame
-            batch_idx += 1
-            ck.save(stats, batch_idx, units_per_frame)
-            if stats.frames >= next_display:
-                _emit(stats.row(kind), stats.to_dict(kind), out_dir, quiet)
-                next_display += sweep.display_step
         _emit(stats.row(kind), stats.to_dict(kind), out_dir, quiet)
         ck.finish_point(stats, kind)
         rows.append(stats.to_dict(kind))
@@ -290,10 +310,13 @@ def make_binary_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
         frame_err = has_err | ~res.ok
         false_f = has_err & res.ok         # undetected error (FER_False)
         alarm_f = ~has_err & ~res.ok       # false alarm (FER_Alarm)
-        return (jnp.sum(errbits), jnp.sum(frame_err.astype(jnp.int32)),
-                jnp.sum(false_f.astype(jnp.int32)),
-                jnp.sum(alarm_f.astype(jnp.int32)),
-                res.iters.astype(jnp.int32))
+        # one packed counter vector -> ONE host fetch per batch (each separate
+        # scalar fetch costs a full round trip through the device runtime)
+        return jnp.stack([jnp.sum(errbits),
+                          jnp.sum(frame_err.astype(jnp.int32)),
+                          jnp.sum(false_f.astype(jnp.int32)),
+                          jnp.sum(alarm_f.astype(jnp.int32)),
+                          res.iters.astype(jnp.int32)])
 
     return jax.jit(step), B
 
@@ -319,11 +342,11 @@ def make_binary_ref_channel_step(code: QCBinaryCode,
         errbits = jnp.sum(res.hard[:, :msg_cols].astype(jnp.int32),
                           axis=(1, 2))
         has_err = errbits > 0
-        return (jnp.sum(errbits),
-                jnp.sum((has_err | ~res.ok).astype(jnp.int32)),
-                jnp.sum((has_err & res.ok).astype(jnp.int32)),
-                jnp.sum((~has_err & ~res.ok).astype(jnp.int32)),
-                res.iters.astype(jnp.int32))
+        return jnp.stack([jnp.sum(errbits),
+                          jnp.sum((has_err | ~res.ok).astype(jnp.int32)),
+                          jnp.sum((has_err & res.ok).astype(jnp.int32)),
+                          jnp.sum((~has_err & ~res.ok).astype(jnp.int32)),
+                          res.iters.astype(jnp.int32)])
 
     return jax.jit(step), B
 
@@ -388,14 +411,16 @@ def run_binary_sweep(sim: cfg.BinarySimConfig, mesh=None,
     def step(si, bi, snr):
         sigma = channel.sigma_from_snr(snr, code.rate, sweep.snr_type)
         key = jax.random.fold_in(jax.random.fold_in(base, si), bi)
-        t0 = time.perf_counter()
-        errbits, errf, falsef, alarmf, iters = fn(key, sigma)
-        errbits = int(jax.block_until_ready(errbits))
-        secs = time.perf_counter() - t0
-        # batch-global iteration count, weighted per frame like the reference
-        # (Simulation.cu:258: Total_Iteration += iteraTime per frame)
-        return (B, int(errf), errbits, int(iters) * B, int(falsef),
-                int(alarmf), secs)
+        out = fn(key, sigma)               # async dispatch
+
+        def collect():
+            errbits, errf, falsef, alarmf, iters = (int(x) for x in
+                                                    np.asarray(out))
+            # batch-global iteration count, weighted per frame like the
+            # reference (Simulation.cu:258: Total_Iteration += iteraTime)
+            return (B, errf, errbits, iters * B, falsef, alarmf)
+
+        return collect
 
     key_salt = _config_key(sim, {"kind": "binary", "B": B})
     return _run_sweep("binary", sweep, msg_cols * code.Z, code.k, B, step,
@@ -418,13 +443,17 @@ def _run_binary_sweep_ref(code, sim: cfg.BinarySimConfig, mesh, out_dir,
             src.reset()
             state["si"] = si
         sigma = channel.sigma_from_snr(snr, code.rate, sweep.snr_type)
+        # the sequential host LCG runs at launch time, in batch order, so the
+        # reference's exact noise sequence is preserved under pipelining
         chan = jnp.asarray(src.next(sigma))
-        t0 = time.perf_counter()
-        errbits, errf, falsef, alarmf, iters = fn(chan)
-        errbits = int(jax.block_until_ready(errbits))
-        secs = time.perf_counter() - t0
-        return (B, int(errf), errbits, int(iters) * B, int(falsef),
-                int(alarmf), secs)
+        out = fn(chan)
+
+        def collect():
+            errbits, errf, falsef, alarmf, iters = (int(x) for x in
+                                                    np.asarray(out))
+            return (B, errf, errbits, iters * B, falsef, alarmf)
+
+        return collect
 
     key_salt = _config_key(sim, {"kind": "binary_ref", "B": B})
     return _run_sweep("binary", sweep, msg_cols * code.Z, code.k, B, step,
@@ -495,34 +524,49 @@ def _run_packed(kind: str, sweep: cfg.SweepConfig, points: list[float],
                         and st.frames >= sweep.least_test_frames)
                 and st.frames < sweep.max_frames]
 
+    # one launched batch stays in flight (same pipelining as _run_sweep: the
+    # device computes batch k+1 while batch k's counters return to the host;
+    # the active set therefore lags one batch, so a finishing point may get
+    # one extra — still counted — batch)
     bi = bi0
+    consumed = bi0
+    pending = None           # (device [S, 6] counters, active point list)
+    t_last = time.perf_counter()
     while True:
         active = unfinished()
-        if not active:
+        nxt = None
+        if active:
+            # equal split of the batch over active points (deterministic)
+            pid = np.asarray(active, dtype=np.int32)[np.arange(B) % len(active)]
+            key = jax.random.fold_in(base, bi)
+            nxt = (fn(key, jnp.asarray(sigmas[pid]), jnp.asarray(pid)), active)
+            bi += 1
+        if pending is not None:
+            seg_dev, act = pending
+            seg = np.asarray(seg_dev)
+            now = time.perf_counter()
+            secs = now - t_last
+            t_last = now
+            for i in act:
+                nf, ef, eu, ff, af, its = (int(x) for x in seg[i])
+                st = stats[i]
+                st.frames += nf
+                st.error_frames += ef
+                st.error_units += eu
+                st.false_frames += ff
+                st.alarm_frames += af
+                st.iter_sum += its
+                st.decode_s += secs * nf / B
+                st.info_bits += nf * info_bits_per_frame
+            consumed += 1
+            if ck:
+                ck.state["packed"] = {
+                    "stats": [dataclasses.asdict(st) for st in stats],
+                    "batch_idx": consumed}
+                ck.save(None, 0, 0)
+        pending = nxt
+        if nxt is None:
             break
-        # equal split of the batch over active points (deterministic layout)
-        pid = np.asarray(active, dtype=np.int32)[np.arange(B) % len(active)]
-        key = jax.random.fold_in(base, bi)
-        t0 = time.perf_counter()
-        seg = np.asarray(fn(key, jnp.asarray(sigmas[pid]), jnp.asarray(pid)))
-        secs = time.perf_counter() - t0
-        for i in active:
-            nf, ef, eu, ff, af, its = (int(x) for x in seg[i])
-            st = stats[i]
-            st.frames += nf
-            st.error_frames += ef
-            st.error_units += eu
-            st.false_frames += ff
-            st.alarm_frames += af
-            st.iter_sum += its
-            st.decode_s += secs * nf / B
-            st.info_bits += nf * info_bits_per_frame
-        bi += 1
-        if ck:
-            ck.state["packed"] = {
-                "stats": [dataclasses.asdict(st) for st in stats],
-                "batch_idx": bi}
-            ck.save(None, 0, 0)
     rows = []
     for st in stats:
         _emit(st.row(kind), st.to_dict(kind), out_dir, quiet)
@@ -669,9 +713,11 @@ def make_nb_step(code: NBCode, sim: cfg.NBSimConfig, mesh=None):
         has_err = errsyms > 0
         false_f = has_err & res.ok
         alarm_f = ~has_err & ~res.ok
-        return (jnp.sum(errsyms), jnp.sum(has_err.astype(jnp.int32)),
-                jnp.sum(false_f.astype(jnp.int32)),
-                jnp.sum(alarm_f.astype(jnp.int32)), jnp.sum(res.iters))
+        return jnp.stack([jnp.sum(errsyms),
+                          jnp.sum(has_err.astype(jnp.int32)),
+                          jnp.sum(false_f.astype(jnp.int32)),
+                          jnp.sum(alarm_f.astype(jnp.int32)),
+                          jnp.sum(res.iters).astype(jnp.int32)])
 
     return jax.jit(step), B
 
@@ -701,12 +747,14 @@ def run_nb_sweep(sim: cfg.NBSimConfig, mesh=None, out_dir: str | None = None,
         sigma = channel.sigma_from_snr(snr, code.rate, sweep.snr_type,
                                        bits_per_sym)
         key = jax.random.fold_in(jax.random.fold_in(base, si), bi)
-        t0 = time.perf_counter()
-        errsyms, errf, falsef, alarmf, iters = fn(key, sigma)
-        errsyms = int(jax.block_until_ready(errsyms))
-        secs = time.perf_counter() - t0
-        return (B, int(errf), errsyms, int(iters), int(falsef), int(alarmf),
-                secs)
+        out = fn(key, sigma)
+
+        def collect():
+            errsyms, errf, falsef, alarmf, iters = (int(x) for x in
+                                                    np.asarray(out))
+            return (B, errf, errsyms, iters, falsef, alarmf)
+
+        return collect
 
     key_salt = _config_key(sim, {"kind": "nb", "B": B})
     return _run_sweep("nb", sweep, code.n_sym,
