@@ -44,6 +44,23 @@ from cuda_ldpc_tpu.models.nb_code import NBCode
 NEG = -1e30   # finite -inf stand-in (avoids inf-inf NaNs under masking)
 POS = 1e30
 _XOR_CACHE: dict[int, np.ndarray] = {}
+_HADAMARD_CACHE: dict[int, np.ndarray] = {}
+
+
+def _hadamard(q: int) -> np.ndarray:
+    """Walsh-Hadamard matrix H[a, b] = (-1)^popcount(a & b) (natural order).
+    Self-inverse up to 1/q; diagonalizes convolution over the XOR group."""
+    H = _HADAMARD_CACHE.get(q)
+    if H is None:
+        anb = np.arange(q)[:, None] & np.arange(q)[None, :]
+        par = np.zeros_like(anb)
+        v = anb.copy()
+        while v.any():
+            par ^= v & 1
+            v >>= 1
+        H = np.where(par == 1, -1.0, 1.0).astype(np.float32)
+        _HADAMARD_CACHE[q] = H
+    return H
 
 
 class NBDecodeResult(NamedTuple):
@@ -300,6 +317,47 @@ def _ems_full_cn_core(v2c_cn, mask, h_onehot, xor_table, dc: int, q: int):
     return jnp.where(maskq, c2v, 0.0)
 
 
+def _qspa_cn_core(v2c_cn, mask, h_onehot, had, dc: int, q: int,
+                  eps: float = 1e-30):
+    """True probability-domain sum-product (FFT-QSPA) CN update.
+
+    The check constraint sum_d h_d x_d = 0 makes each c2v message the XOR-group
+    convolution of the other edges' pmfs of y_d = h_d x_d; the Walsh-Hadamard
+    transform diagonalizes that convolution, so the whole update is two [q, q]
+    Hadamard matmuls (MXU) around an exclusive product across edges.  This is
+    the exact decoder the reference's decoder_method=2 approximates in the
+    max-sum domain (myNBLDPC/src/Simulation.cpp:64 runs EMS with Nm=q,
+    Nc=dc-1) — the BASELINE.json 'FFT-QSPA decode' config; no counterpart
+    exists in the reference source.
+
+    v2c_cn: [B, M', dc, q] LLR-domain messages over VN symbols (L[0] = 0).
+    Returns c2v in the same domain/shape."""
+    maskq = mask[None, :, :, None]
+    U = _perm_inv(v2c_cn, h_onehot)              # LLRs over y = h*x
+    p = jax.nn.softmax(jnp.where(maskq, U, NEG), axis=-1)
+    # padded edges carry the delta-at-0 pmf = the convolution identity
+    ident = jnp.where(jnp.arange(q) == 0, 1.0, 0.0)
+    p = jnp.where(maskq, p, ident)
+    F = jnp.einsum("bmdq,qk->bmdk", p, had,
+                   preferred_element_type=jnp.float32)
+    one = jnp.ones_like(F[:, :, 0])
+    fwd = [one]
+    for d in range(dc - 1):
+        fwd.append(fwd[-1] * F[:, :, d])
+    bwd = [one]
+    for d in range(dc - 1, 0, -1):
+        bwd.append(bwd[-1] * F[:, :, d])
+    bwd = bwd[::-1]
+    excl = jnp.stack([fwd[d] * bwd[d] for d in range(dc)], axis=2)
+    pout = jnp.einsum("bmdk,kq->bmdq", excl, had,
+                      preferred_element_type=jnp.float32) / q
+    # tiny negatives can appear from float cancellation; clip before the log
+    llr = jnp.log(jnp.maximum(pout, eps))
+    out = _perm_fwd(llr, h_onehot)               # back to VN symbol domain
+    out = out - out[..., 0:1]
+    return jnp.where(maskq, out, 0.0)
+
+
 # --------------------------------------------------------------------------
 # TMM check-node core (min domain)
 # --------------------------------------------------------------------------
@@ -444,6 +502,32 @@ def decode_ems(L_ch: jax.Array, code: NBCode, max_iters: int, nm: int = 2,
     return _run(g, B, max_iters, early_stop, c2v0, step, decide)
 
 
+def decode_qspa(L_ch: jax.Array, code: NBCode, max_iters: int,
+                early_stop: bool = True) -> NBDecodeResult:
+    """Flooding FFT-QSPA (exact sum-product via Walsh-Hadamard CN
+    convolution).  L_ch: [B, N, q] symbol LLRs (log P(s)/P(0), L[...,0]=0).
+    Same flooding schedule / syndrome early-exit / iteration accounting as
+    EMS; only the CN core differs (see _qspa_cn_core)."""
+    g = build_graph(code)
+    B = L_ch.shape[0]
+    L_ch = L_ch.astype(jnp.float32)
+    mask = jnp.asarray(g.cn_mask)
+    h_onehot = jnp.asarray(g.h_onehot, dtype=jnp.float32)
+    had = jnp.asarray(_hadamard(g.q))
+
+    def decide(c2v_cn):
+        llr = L_ch + jnp.sum(_gather_c2v_vn(g, c2v_cn), axis=2)
+        return jnp.argmax(llr, axis=-1).astype(jnp.int32), llr
+
+    def step(c2v_cn, llr, cont):
+        v2c = llr[:, g.cn_links] - c2v_cn
+        new = _qspa_cn_core(v2c, mask, h_onehot, had, g.dc, g.q)
+        return _freeze(cont, new, c2v_cn)
+
+    c2v0 = jnp.zeros((B, g.M, g.dc, g.q), dtype=jnp.float32)
+    return _run(g, B, max_iters, early_stop, c2v0, step, decide)
+
+
 def to_min_domain(L_ch: jax.Array) -> jax.Array:
     """Positive-LLR domain -> TMM min domain: m - L with m = max over nonzero
     symbols only (Decoding_TMM init, LDPC_Decoder.cpp:364-390; symbol 0 gets
@@ -532,13 +616,17 @@ def make_decoder(code: NBCode, method: str = "ems", max_iters: int = 20,
 
     ``method``: 'ems' | 'ems_full' | 'tmm' | 'layered_tmm' — the reference's
     decoder_method 0 | 2 | 1 | 3 (myNBLDPC/include/define.h:37,
-    Simulation.cpp:56-69)."""
+    Simulation.cpp:56-69) — or 'qspa', the exact FFT/Hadamard-domain
+    sum-product (no reference counterpart; see _qspa_cn_core)."""
     if method == "ems":
         fn = functools.partial(decode_ems, code=code, max_iters=max_iters,
                                nm=nm, nc=nc, early_stop=early_stop)
     elif method == "ems_full":
         fn = functools.partial(decode_ems, code=code, max_iters=max_iters,
                                full=True, early_stop=early_stop)
+    elif method == "qspa":
+        fn = functools.partial(decode_qspa, code=code, max_iters=max_iters,
+                               early_stop=early_stop)
     elif method == "tmm":
         fn = functools.partial(decode_tmm, code=code, max_iters=max_iters,
                                early_stop=early_stop)
