@@ -135,6 +135,12 @@ def _cn_phase(T_ref, R_ref, code: QCBinaryCode, alpha: float, beta: float,
             R_ref[e] = new_col.astype(store)
 
 
+def _zero_outputs(hard_ref, ok_ref, iters_ref, tile_b: int):
+    hard_ref[...] = jnp.zeros(hard_ref.shape, jnp.int8)
+    ok_ref[...] = jnp.zeros((tile_b, 128), jnp.int32)
+    iters_ref[...] = jnp.zeros((tile_b, 128), jnp.int32)
+
+
 def _epilogue(T_ref, hard_ref, ok_ref, iters_ref, code: QCBinaryCode,
               check: str, tile_b: int, final_it):
     for l in range(code.L):
@@ -152,9 +158,11 @@ def _kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
     store = R_ref.dtype         # scratch storage dtype (f32 or bf16)
     dtype = jnp.float32         # compute dtype (Mosaic: sub-32-bit compare/rotate unsupported)
 
+    if num_iters <= 0:          # match minsum.decode_flooding: zeros, not-ok
+        _zero_outputs(hard_ref, ok_ref, iters_ref, tile_b)
+        return
+
     R_ref[...] = jnp.zeros(R_ref.shape, store)
-    for l in range(L):          # 0-iteration safety: totals default to chan
-        T_ref[l] = chan_ref[l].astype(store)
 
     def vn_totals():
         for l in range(L):
@@ -198,6 +206,10 @@ def _layered_kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
     converges in roughly half the flooding iterations."""
     L = code.L
     store = R_ref.dtype
+
+    if num_iters <= 0:          # match minsum.decode_layered: zeros, not-ok
+        _zero_outputs(hard_ref, ok_ref, iters_ref, tile_b)
+        return
 
     R_ref[...] = jnp.zeros(R_ref.shape, store)
     for l in range(L):

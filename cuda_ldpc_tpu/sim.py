@@ -180,16 +180,20 @@ def _config_key(*parts) -> str:
 def _run_sweep(kind: str, sweep: cfg.SweepConfig, units_per_frame: int,
                info_bits_per_frame: int, batch: int,
                step: Callable, out_dir: str | None, checkpoint: str | None,
-               key_salt: str, quiet: bool) -> SweepResult:
+               key_salt: str, quiet: bool,
+               pipeline: bool = True) -> SweepResult:
     """Shared sweep loop.  ``step(snr_idx, batch_idx, sigma)`` LAUNCHES one
     batch (async jax dispatch) and returns a zero-arg ``collect`` that blocks
     and returns ``(n_frames, err_frames, err_units, iter_sum, false_f,
-    alarm_f)``.  The loop keeps ONE launched batch in flight so the device
-    computes batch k+1 while batch k's counters travel back to the host
-    (per-call dispatch+fetch costs ~25-30 ms flat — see BENCH.md).  The stop
-    rule is evaluated on collected stats, so each point may run one batch past
-    the rule; those frames are still counted (harmless for MC estimates — the
-    reference itself only checks between batches, Simulation.cu:111-146)."""
+    alarm_f)``.  With ``pipeline=True`` the loop keeps ONE launched batch in
+    flight so the device computes batch k+1 while batch k's counters travel
+    back to the host (per-call dispatch+fetch costs ~25-30 ms flat — see
+    BENCH.md).  The stop rule is then evaluated on collected stats, so each
+    point may run one batch past the rule; those frames are still counted
+    (harmless for MC estimates — the reference itself only checks between
+    batches, Simulation.cu:111-146).  ``pipeline=False`` collects every batch
+    synchronously, reproducing the reference's exact stop behavior (used by
+    the reference-channel parity mode)."""
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
     ck = _Checkpoint(checkpoint, key_salt)
@@ -207,8 +211,28 @@ def _run_sweep(kind: str, sweep: cfg.SweepConfig, units_per_frame: int,
             batch_idx = cur["batch_idx"]
         collected = batch_idx
         next_display = (stats.frames // sweep.display_step + 1) * sweep.display_step
-        pending = None
         t_last = time.perf_counter()
+
+        def consume(collect):
+            nonlocal collected, next_display, t_last
+            nf, ef, eu, its, ff, af = collect()
+            now = time.perf_counter()
+            stats.frames += nf
+            stats.error_frames += ef
+            stats.error_units += eu
+            stats.iter_sum += its
+            stats.false_frames += ff
+            stats.alarm_frames += af
+            stats.decode_s += now - t_last   # marginal wall time
+            t_last = now
+            stats.info_bits += nf * info_bits_per_frame
+            collected += 1
+            ck.save(stats, collected, units_per_frame)
+            if stats.frames >= next_display:
+                _emit(stats.row(kind), stats.to_dict(kind), out_dir, quiet)
+                next_display += sweep.display_step
+
+        pending = None
         while True:
             stopped = ((stats.error_frames >= sweep.least_error_frames
                         and stats.frames >= sweep.least_test_frames)
@@ -217,23 +241,11 @@ def _run_sweep(kind: str, sweep: cfg.SweepConfig, units_per_frame: int,
             if not stopped:
                 nxt = step(si, batch_idx, snr)
                 batch_idx += 1
+            if not pipeline and nxt is not None:
+                consume(nxt)
+                continue
             if pending is not None:
-                nf, ef, eu, its, ff, af = pending()
-                now = time.perf_counter()
-                stats.frames += nf
-                stats.error_frames += ef
-                stats.error_units += eu
-                stats.iter_sum += its
-                stats.false_frames += ff
-                stats.alarm_frames += af
-                stats.decode_s += now - t_last   # marginal wall time
-                t_last = now
-                stats.info_bits += nf * info_bits_per_frame
-                collected += 1
-                ck.save(stats, collected, units_per_frame)
-                if stats.frames >= next_display:
-                    _emit(stats.row(kind), stats.to_dict(kind), out_dir, quiet)
-                    next_display += sweep.display_step
+                consume(pending)
             pending = nxt
             if nxt is None:
                 break
@@ -436,16 +448,21 @@ def _run_binary_sweep_ref(code, sim: cfg.BinarySimConfig, mesh, out_dir,
     sweep = sim.sweep
     src = _ref_channel_source(code, B)
     msg_cols = code.L - code.J if sim.decoder.message_only else code.L
-    state = {"si": -1}
+    state = {"si": -1, "produced": 0}
 
     def step(si, bi, snr):
         if si != state["si"]:          # new SNR point: reset the LCG
             src.reset()
             state["si"] = si
+            state["produced"] = 0
         sigma = channel.sigma_from_snr(snr, code.rate, sweep.snr_type)
-        # the sequential host LCG runs at launch time, in batch order, so the
-        # reference's exact noise sequence is preserved under pipelining
+        # checkpoint resume mid-point: fast-forward the sequential LCG past
+        # the batches already counted in the restored stats
+        while state["produced"] < bi:
+            src.next(sigma)
+            state["produced"] += 1
         chan = jnp.asarray(src.next(sigma))
+        state["produced"] += 1
         out = fn(chan)
 
         def collect():
@@ -456,8 +473,10 @@ def _run_binary_sweep_ref(code, sim: cfg.BinarySimConfig, mesh, out_dir,
         return collect
 
     key_salt = _config_key(sim, {"kind": "binary_ref", "B": B})
+    # pipeline=False: this mode exists to reproduce the reference run
+    # bit-exactly, including its up-to-date-stats stop rule
     return _run_sweep("binary", sweep, msg_cols * code.Z, code.k, B, step,
-                      out_dir, checkpoint, key_salt, quiet)
+                      out_dir, checkpoint, key_salt, quiet, pipeline=False)
 
 
 def make_binary_packed_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
@@ -510,10 +529,15 @@ def _run_packed(kind: str, sweep: cfg.SweepConfig, points: list[float],
              for s in points]
     ck = _Checkpoint(checkpoint, key_salt) if checkpoint else None
     bi0 = 0
+    inflight0 = None
     if ck and ck.state.get("packed"):
         saved = ck.state["packed"]
         stats = [SnrStats(**d) for d in saved["stats"]]
         bi0 = saved["batch_idx"]
+        # the batch that was launched but uncollected at save time: relaunch
+        # it with its ORIGINAL point layout so a resumed sweep reproduces the
+        # uninterrupted run exactly (the live active set lags one batch)
+        inflight0 = saved.get("inflight") or None
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
     _write_logo(kind, banner, out_dir, quiet)
@@ -533,7 +557,8 @@ def _run_packed(kind: str, sweep: cfg.SweepConfig, points: list[float],
     pending = None           # (device [S, 6] counters, active point list)
     t_last = time.perf_counter()
     while True:
-        active = unfinished()
+        active = inflight0 if inflight0 is not None else unfinished()
+        inflight0 = None
         nxt = None
         if active:
             # equal split of the batch over active points (deterministic)
@@ -562,7 +587,8 @@ def _run_packed(kind: str, sweep: cfg.SweepConfig, points: list[float],
             if ck:
                 ck.state["packed"] = {
                     "stats": [dataclasses.asdict(st) for st in stats],
-                    "batch_idx": consumed}
+                    "batch_idx": consumed,
+                    "inflight": list(nxt[1]) if nxt is not None else None}
                 ck.save(None, 0, 0)
         pending = nxt
         if nxt is None:

@@ -80,3 +80,17 @@ def test_unsupported_z_raises():
     with pytest.raises(ValueError, match="Z % 128"):
         pallas_minsum.decode_flooding(jnp.zeros((2, small.L, small.Z)),
                                       small, 2, interpret=True)
+
+
+def test_zero_iters_matches_jnp(code):
+    chan = _chan(code, 0.55, 8)
+    a = minsum.decode_flooding(chan, code, 0, check="zero")
+    b = pallas_minsum.decode_flooding(chan, code, 0, check="zero",
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
+    np.testing.assert_array_equal(np.asarray(a.ok), np.asarray(b.ok))
+    c = minsum.decode_layered(chan, code, 0, check="zero")
+    d = pallas_minsum.decode_layered(chan, code, 0, check="zero",
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(c.hard), np.asarray(d.hard))
+    np.testing.assert_array_equal(np.asarray(c.ok), np.asarray(d.ok))
