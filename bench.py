@@ -52,22 +52,25 @@ def main() -> int:
     if use_pallas:
         fn = (pallas_minsum.decode_layered if schedule == "layered"
               else pallas_minsum.decode_flooding)
+        # col_major: feed the kernel's native [L, B, Z] layout directly
+        # (production zero-tx sweeps do the same), skipping two HBM transposes
         decode = jax.jit(functools.partial(
             fn, code=code, num_iters=iters, check="zero", early_stop=False,
-            msg_dtype=dtype, tile_b=tile_b))
+            msg_dtype=dtype, tile_b=tile_b, col_major=True))
+        chan_shape = (code.L, B, code.Z)
     else:
         fn = (minsum.decode_layered if schedule == "layered"
               else minsum.decode_flooding)
         decode = jax.jit(functools.partial(
             fn, code=code, num_iters=iters, check="zero", early_stop=False,
             msg_dtype=dtype))
+        chan_shape = (B, code.L, code.Z)
 
     reps = int(os.environ.get("BENCH_REPS", "5"))
     # two alternating channel buffers keep device memory bounded at large B
     # (B=8192 is ~1.26 GB/buffer) while still defeating any per-buffer caching
     bufs = [1.0 + 0.6 * jax.random.normal(jax.random.PRNGKey(i),
-                                          (B, code.L, code.Z),
-                                          dtype=jnp.float32)
+                                          chan_shape, dtype=jnp.float32)
             for i in range(min(reps, 2))]
     chans = [bufs[i % len(bufs)] for i in range(reps)]
     import numpy as np

@@ -250,15 +250,24 @@ def _kernel_dtype(msg_dtype, chan_dtype):
     return jnp.dtype(jnp.float32)
 
 
-def _run_kernel(kernel, chan, code, tile_b, dtype, interpret):
-    B, L, Z = chan.shape
-    nt = pl.cdiv(B, tile_b)
-    Bp = nt * tile_b
-    if Bp != B:
-        chan = jnp.pad(chan, ((0, Bp - B), (0, 0), (0, 0)))
-    # [B, L, Z] -> [L, B, Z] so each in-kernel column slice is a native
-    # (TB sublane x Z lane) tile (see layout note in module docstring)
-    chan = chan.astype(jnp.float32).transpose(1, 0, 2)
+def _run_kernel(kernel, chan, code, tile_b, dtype, interpret,
+                col_major=False):
+    if col_major:
+        L, B, Z = chan.shape
+        chan = chan.astype(jnp.float32)
+        nt = pl.cdiv(B, tile_b)
+        Bp = nt * tile_b
+        if Bp != B:
+            chan = jnp.pad(chan, ((0, 0), (0, Bp - B), (0, 0)))
+    else:
+        B, L, Z = chan.shape
+        nt = pl.cdiv(B, tile_b)
+        Bp = nt * tile_b
+        if Bp != B:
+            chan = jnp.pad(chan, ((0, Bp - B), (0, 0), (0, 0)))
+        # [B, L, Z] -> [L, B, Z] so each in-kernel column slice is a native
+        # (TB sublane x Z lane) tile (see layout note in module docstring)
+        chan = chan.astype(jnp.float32).transpose(1, 0, 2)
     hard, ok, iters = pl.pallas_call(
         kernel,
         grid=(nt,),
@@ -283,7 +292,8 @@ def _run_kernel(kernel, chan, code, tile_b, dtype, interpret):
         ],
         interpret=interpret,
     )(chan)
-    return DecodeResult(hard.transpose(1, 0, 2)[:B], ok[:B, 0].astype(bool),
+    hard = hard[:, :B] if col_major else hard.transpose(1, 0, 2)[:B]
+    return DecodeResult(hard, ok[:B, 0].astype(bool),
                         jnp.max(iters[:, 0]).astype(jnp.int32))
 
 
@@ -291,29 +301,37 @@ def decode_layered(chan: jax.Array, code: QCBinaryCode, num_iters: int,
                    alpha: float = 1.0, beta: float = 0.0,
                    check: str = "zero", early_stop: bool = True,
                    msg_dtype=None, tile_b: int = 8,
-                   interpret: bool = False) -> DecodeResult:
-    """Fused row-layered min-sum (drop-in for minsum.decode_layered)."""
+                   interpret: bool = False,
+                   col_major: bool = False) -> DecodeResult:
+    """Fused row-layered min-sum (drop-in for minsum.decode_layered).
+    ``col_major=True`` takes chan as [L, B, Z] (the kernel's native layout)
+    and returns hard the same way, skipping two large HBM transposes."""
     if not supports(code):
         raise ValueError(f"pallas kernel needs Z % 128 == 0, got Z={code.Z}")
     dtype = _kernel_dtype(msg_dtype, chan.dtype)
     kernel = functools.partial(_layered_kernel, code=code, num_iters=num_iters,
                                alpha=alpha, beta=beta, check=check,
                                early_stop=early_stop, tile_b=tile_b)
-    return _run_kernel(kernel, chan, code, tile_b, dtype, interpret)
+    return _run_kernel(kernel, chan, code, tile_b, dtype, interpret,
+                       col_major=col_major)
 
 
 def decode_flooding(chan: jax.Array, code: QCBinaryCode, num_iters: int,
                     alpha: float = 1.0, beta: float = 0.0,
                     check: str = "zero", early_stop: bool = True,
                     msg_dtype=None, tile_b: int = 8,
-                    interpret: bool = False) -> DecodeResult:
+                    interpret: bool = False,
+                    col_major: bool = False) -> DecodeResult:
     """Drop-in fused replacement for minsum.decode_flooding (binary flooding
     min-sum, same numerics).  Returns per-frame ok and the batch-global
-    iteration count (max over tiles, like the reference's single host loop)."""
+    iteration count (max over tiles, like the reference's single host loop).
+    ``col_major=True`` takes chan as [L, B, Z] (the kernel's native layout)
+    and returns hard the same way, skipping two large HBM transposes."""
     if not supports(code):
         raise ValueError(f"pallas kernel needs Z % 128 == 0, got Z={code.Z}")
     dtype = _kernel_dtype(msg_dtype, chan.dtype)
     kernel = functools.partial(_kernel, code=code, num_iters=num_iters,
                                alpha=alpha, beta=beta, check=check,
                                early_stop=early_stop, tile_b=tile_b)
-    return _run_kernel(kernel, chan, code, tile_b, dtype, interpret)
+    return _run_kernel(kernel, chan, code, tile_b, dtype, interpret,
+                       col_major=col_major)

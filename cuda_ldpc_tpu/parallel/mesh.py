@@ -26,9 +26,13 @@ def get_mesh(devices=None, axis: str = "batch") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
-def batch_sharding(mesh: Mesh, ndim: int, axis: str = "batch") -> NamedSharding:
-    """Shard the leading (frame) axis, replicate the rest."""
-    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+def batch_sharding(mesh: Mesh, ndim: int, axis: str = "batch",
+                   axis_pos: int = 0) -> NamedSharding:
+    """Shard the frame axis (position ``axis_pos``), replicate the rest.
+    ``axis_pos=1`` serves the column-major [L, B, Z] kernel layout."""
+    spec = [None] * ndim
+    spec[axis_pos] = axis
+    return NamedSharding(mesh, P(*spec))
 
 
 def host_local_batch(total_batch: int, mesh: Mesh) -> int:

@@ -283,7 +283,7 @@ def make_binary_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
     mesh = mesh or get_mesh()
     n_dev = mesh.devices.size
     B = sim.batch_per_device * n_dev
-    shard = batch_sharding(mesh, 3)
+    from cuda_ldpc_tpu.ops import pallas_minsum
     decode = _pick_binary_decode(code, dec_cfg)
     msg_cols = code.L - code.J if dec_cfg.message_only else code.L
     dtype = jnp.dtype(dec_cfg.msg_dtype)
@@ -295,8 +295,35 @@ def make_binary_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
             raise ValueError("tx='random' needs check='syndrome' (the "
                              "reference's zero-check only works for the "
                              "all-zero codeword)")
+    # zero-tx pallas decodes run in the kernel's native [L, B, Z] layout,
+    # skipping two full-batch HBM transposes per call
+    col = enc is None and decode in (pallas_minsum.decode_flooding,
+                                     pallas_minsum.decode_layered)
+    shard = batch_sharding(mesh, 3, axis_pos=1 if col else 0)
 
     def step(key, sigma):
+        if col:
+            x = jnp.ones((code.L, B, code.Z), dtype=jnp.float32)
+            if sim.add_noise:
+                chan = x + sigma * jax.random.normal(key, x.shape,
+                                                     dtype=jnp.float32)
+            else:
+                chan = x
+            chan = jax.lax.with_sharding_constraint(chan, shard)
+            res = decode(chan, code, dec_cfg.max_iters, alpha=dec_cfg.alpha,
+                         beta=dec_cfg.beta, check=dec_cfg.check,
+                         msg_dtype=dtype, col_major=True)
+            errbits = jnp.sum(res.hard[:msg_cols].astype(jnp.int32),
+                              axis=(0, 2))
+            has_err = errbits > 0
+            frame_err = has_err | ~res.ok
+            false_f = has_err & res.ok
+            alarm_f = ~has_err & ~res.ok
+            return jnp.stack([jnp.sum(errbits),
+                              jnp.sum(frame_err.astype(jnp.int32)),
+                              jnp.sum(false_f.astype(jnp.int32)),
+                              jnp.sum(alarm_f.astype(jnp.int32)),
+                              res.iters.astype(jnp.int32)])
         if enc is None:
             cw = jnp.zeros((B, code.L, code.Z), dtype=jnp.float32)
         else:
@@ -434,7 +461,11 @@ def run_binary_sweep(sim: cfg.BinarySimConfig, mesh=None,
 
         return collect
 
-    key_salt = _config_key(sim, {"kind": "binary", "B": B})
+    # the zero-tx noise stream's layout depends on the resolved kernel
+    # (col-major pallas vs row-major jnp), so a checkpoint must not resume
+    # across backends
+    key_salt = _config_key(sim, {"kind": "binary", "B": B,
+                                 "backend": jax.default_backend()})
     return _run_sweep("binary", sweep, msg_cols * code.Z, code.k, B, step,
                       out_dir, checkpoint, key_salt, quiet)
 
@@ -489,19 +520,36 @@ def make_binary_packed_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
     dec_cfg = sim.decoder
     mesh = mesh or get_mesh()
     B = sim.batch_per_device * mesh.devices.size
-    shard = batch_sharding(mesh, 3)
+    from cuda_ldpc_tpu.ops import pallas_minsum
     decode = _pick_binary_decode(code, dec_cfg)
+    col = decode in (pallas_minsum.decode_flooding,
+                     pallas_minsum.decode_layered)
+    shard = batch_sharding(mesh, 3, axis_pos=1 if col else 0)
     msg_cols = code.L - code.J if dec_cfg.message_only else code.L
     dtype = jnp.dtype(dec_cfg.msg_dtype)
 
     def step(key, sigma_vec, pid_vec):
-        noise = jax.random.normal(key, (B, code.L, code.Z), dtype=jnp.float32)
-        chan = 1.0 + sigma_vec[:, None, None] * noise     # all-zero codeword
+        if col:                       # native [L, B, Z] layout (see BENCH.md)
+            noise = jax.random.normal(key, (code.L, B, code.Z),
+                                      dtype=jnp.float32)
+            chan = 1.0 + sigma_vec[None, :, None] * noise  # all-zero codeword
+        else:
+            noise = jax.random.normal(key, (B, code.L, code.Z),
+                                      dtype=jnp.float32)
+            chan = 1.0 + sigma_vec[:, None, None] * noise
         chan = jax.lax.with_sharding_constraint(chan, shard)
-        res = decode(chan, code, dec_cfg.max_iters, alpha=dec_cfg.alpha,
-                     beta=dec_cfg.beta, check=dec_cfg.check, msg_dtype=dtype)
-        errbits = jnp.sum(res.hard[:, :msg_cols].astype(jnp.int32),
-                          axis=(1, 2))
+        if col:
+            res = decode(chan, code, dec_cfg.max_iters, alpha=dec_cfg.alpha,
+                         beta=dec_cfg.beta, check=dec_cfg.check,
+                         msg_dtype=dtype, col_major=True)
+            errbits = jnp.sum(res.hard[:msg_cols].astype(jnp.int32),
+                              axis=(0, 2))
+        else:
+            res = decode(chan, code, dec_cfg.max_iters, alpha=dec_cfg.alpha,
+                         beta=dec_cfg.beta, check=dec_cfg.check,
+                         msg_dtype=dtype)
+            errbits = jnp.sum(res.hard[:, :msg_cols].astype(jnp.int32),
+                              axis=(1, 2))
         has_err = errbits > 0
         frame_err = (has_err | ~res.ok).astype(jnp.int32)
         false_f = (has_err & res.ok).astype(jnp.int32)
@@ -626,7 +674,8 @@ def run_binary_sweep_packed(sim: cfg.BinarySimConfig, mesh=None,
     return _run_packed("binary", sweep, points, sigmas, fn, B,
                        msg_cols * code.Z, code.k, out_dir, quiet, banner,
                        checkpoint=checkpoint,
-                       key_salt=_config_key(sim, {"kind": "binary_packed",
+                       key_salt=_config_key(sim, {"backend": jax.default_backend(),
+                                                  "kind": "binary_packed",
                                                   "B": B}))
 
 

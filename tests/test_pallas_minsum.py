@@ -94,3 +94,22 @@ def test_zero_iters_matches_jnp(code):
                                      interpret=True)
     np.testing.assert_array_equal(np.asarray(c.hard), np.asarray(d.hard))
     np.testing.assert_array_equal(np.asarray(c.ok), np.asarray(d.ok))
+
+
+def test_col_major_matches_row_major(code):
+    chan = _chan(code, 0.55, 8)
+    a = pallas_minsum.decode_flooding(chan, code, 5, check="zero",
+                                      interpret=True)
+    b = pallas_minsum.decode_flooding(chan.transpose(1, 0, 2), code, 5,
+                                      check="zero", interpret=True,
+                                      col_major=True)
+    np.testing.assert_array_equal(np.asarray(a.hard),
+                                  np.asarray(b.hard.transpose(1, 0, 2)))
+    np.testing.assert_array_equal(np.asarray(a.ok), np.asarray(b.ok))
+    c = pallas_minsum.decode_layered(chan.transpose(1, 0, 2), code, 5,
+                                     check="zero", interpret=True,
+                                     col_major=True)
+    d = pallas_minsum.decode_layered(chan, code, 5, check="zero",
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(d.hard),
+                                  np.asarray(c.hard.transpose(1, 0, 2)))
