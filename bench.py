@@ -28,12 +28,12 @@ def main() -> int:
     platform = jax.devices()[0].platform
     # Per-call dispatch through the device runtime costs ~25-30 ms flat, so
     # throughput is batch-amortized: B=256 -> 0.18 Gb/s, B=8192 -> 1.8 Gb/s,
-    # B=16384 -> 2.15 Gb/s (marginal cost ~6-7 us/frame, asymptote
-    # ~2.6 Gb/s).  16384 is the measured sweet spot (~9 GB peak of 16 GB HBM
-    # with the two channel buffers below); the reference's own batch is 4096
-    # (define.cuh:60).
+    # B=16384 -> 2.16 Gb/s, B=32768 -> 2.36 Gb/s (marginal cost ~6-7
+    # us/frame, pure-kernel asymptote ~2.6 Gb/s).  32768 fits in ~11.5 GB of
+    # the 16 GB HBM with the two col-major channel buffers below (no
+    # transpose temp); the reference's own batch is 4096 (define.cuh:60).
     B = int(os.environ.get("BENCH_BATCH",
-                           "16384" if platform != "cpu" else "8"))
+                           "32768" if platform != "cpu" else "8"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     # f32 TB=8 measured fastest (160 Mb/s): bf16 storage costs boundary casts
     # without helping the VPU-op-bound kernel (see memory/ablation notes)

@@ -146,3 +146,15 @@ def test_cli_parses_and_lists(capsys):
 def test_snr_points_float_accumulation():
     s = cfg.SweepConfig(snr_start=0.0, snr_step=0.2, snr_stop=1.0)
     assert s.snr_points() == [0.0, 0.2, 0.4, 0.6, 0.8, 1.0]
+
+
+def test_cli_nb_qspa_end_to_end(tmp_path, capsys):
+    # smallest NB code, one SNR point, tiny budgets: exercises the full CLI ->
+    # config -> sweep -> decoder wiring for the qspa method
+    rc = cli.main(["nb", "--code", "LDPC_N96_K48_GF256_d1_exp",
+                   "--method", "qspa", "--batch", "8", "--snr", "4:1:4",
+                   "--least-error-frames", "1", "--least-test-frames", "8",
+                   "--max-frames", "16", "--out-dir", str(tmp_path)])
+    assert rc == 0
+    rows = (tmp_path / "results.jsonl").read_text().strip().splitlines()
+    assert rows and '"snr": 4' in rows[-1]
