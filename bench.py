@@ -67,11 +67,14 @@ def main() -> int:
         chan_shape = (B, code.L, code.Z)
 
     reps = int(os.environ.get("BENCH_REPS", "5"))
-    # two alternating channel buffers keep device memory bounded at large B
-    # (B=8192 is ~1.26 GB/buffer) while still defeating any per-buffer caching
+    # alternating channel buffers keep device memory bounded at large B
+    # (B=32768 is ~5 GB/buffer); above that a single buffer must be reused
+    # (2 buffers + the int8 hard output would exceed the 16 GB HBM).  JAX
+    # does not memoize executions, so reuse does not skew timing.
+    n_bufs = 1 if B > 32768 else 2
     bufs = [1.0 + 0.6 * jax.random.normal(jax.random.PRNGKey(i),
                                           chan_shape, dtype=jnp.float32)
-            for i in range(min(reps, 2))]
+            for i in range(min(reps, n_bufs))]
     chans = [bufs[i % len(bufs)] for i in range(reps)]
     import numpy as np
 

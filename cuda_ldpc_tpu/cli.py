@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=registry.BINARY_CODES, metavar="CODE")
     b.add_argument("--schedule", choices=["flooding", "layered"],
                    default=bd.decoder.schedule)
+    b.add_argument("--rule", choices=["minsum", "bp"], default=bd.decoder.rule,
+                   help="CN update rule: minsum (decoder_method=0) or bp "
+                        "(exact sum-product — the reference's declared but "
+                        "unimplemented decoder_method=1, define.cuh:33-34)")
     b.add_argument("--max-iters", type=int, default=bd.decoder.max_iters)
     b.add_argument("--alpha", type=float, default=bd.decoder.alpha,
                    help="normalization factor (reference uses 1.0)")
@@ -144,7 +148,7 @@ def main(argv=None) -> int:
             code=args.code,
             decoder=cfg.BinaryDecoderConfig(
                 max_iters=args.max_iters, alpha=args.alpha, beta=args.beta,
-                schedule=args.schedule, check=args.check,
+                rule=args.rule, schedule=args.schedule, check=args.check,
                 message_only=not args.count_full_codeword,
                 kernel=args.kernel, msg_dtype=args.msg_dtype),
             sweep=_sweep_from(args, cfg.BinarySimConfig().sweep),

@@ -52,10 +52,14 @@ class BinaryDecoderConfig:
     alpha=1, beta=0 reproduces it.  check: 'zero' is the reference's
     all-zero-message early stop (LDPC_Decoder.cu:137-153, Message_CW=0),
     'syndrome' the true parity check.  schedule: 'flooding' (the reference's
-    only schedule) or 'layered'."""
+    only schedule) or 'layered'.  rule: 'minsum' (decoder_method=0, the
+    reference's only implemented decoder) or 'bp' (exact sum-product —
+    decoder_method=1, declared in define.cuh:33-34 but unimplemented there;
+    the sim scales the channel to true LLRs 2y/sigma^2 for it)."""
     max_iters: int = 50
     alpha: float = 1.0
     beta: float = 0.0
+    rule: str = "minsum"              # 'minsum' | 'bp'
     schedule: str = "flooding"        # 'flooding' | 'layered'
     check: str = "zero"               # 'zero' | 'syndrome' | 'none'
     message_only: bool = True         # Message_CW=0 (define.cuh:61)

@@ -63,6 +63,35 @@ def _cn_minsum(Qr: jax.Array, alpha: float, beta: float) -> jax.Array:
     return sign_prod * sgn * out
 
 
+def _cn_bp(Qr: jax.Array, alpha: float, beta: float) -> jax.Array:
+    """Exact sum-product CN update (tanh rule) on row-aligned [B, dc, Z]:
+    the reference's *declared but never implemented* decoder_method=1 "BP"
+    (bldpc_实习/define.cuh:33-34, dispatch banner Simulation.cu:196-205).
+    Stable sign/magnitude form  R_i = prod(sgn) * sgn_i * phi(sum_j phi|Q_j|
+    - phi|Q_i|)  with the self-inverse phi(x) = -log(tanh(x/2)).
+
+    Unlike min-sum, BP is NOT scale-invariant: Qr must be true LLRs 2y/sigma^2
+    (the sim driver applies the scale), not the raw channel samples the
+    reference feeds its min-sum (LDPC_Decoder.cu:203)."""
+    dtype = Qr.dtype
+    sgn = jnp.where(Qr < 0, -1.0, 1.0).astype(dtype)
+    sign_prod = jnp.prod(sgn, axis=1, keepdims=True)
+    # |LLR| clipped to [1.4e-7, 34]: phi saturates to [0, ~16] either side in
+    # f32, keeping phi(sum - phi_i) finite without inf-inf NaNs
+    mag = jnp.clip(jnp.abs(Qr), 1.4e-7, 34.0)
+    ph = -jnp.log(jnp.tanh(mag * jnp.asarray(0.5, dtype)))
+    rest = jnp.sum(ph, axis=1, keepdims=True) - ph
+    out = -jnp.log(jnp.tanh(jnp.clip(rest, 1.4e-7, None) * jnp.asarray(0.5, dtype)))
+    if beta:
+        out = jnp.maximum(out - jnp.asarray(beta, dtype), 0)
+    if alpha != 1.0:
+        out = out * jnp.asarray(alpha, dtype)
+    return sign_prod * sgn * out
+
+
+_CN_RULES = {"minsum": _cn_minsum, "bp": _cn_bp}
+
+
 def _vn_update(code: QCBinaryCode, chan: jax.Array, R: jax.Array):
     """VN phase: totals per column, hard decisions, v2c messages (column-aligned)."""
     totals = []
@@ -111,20 +140,22 @@ def _check(code, hard, check: str):
 def decode_flooding(chan: jax.Array, code: QCBinaryCode, num_iters: int,
                     alpha: float = 1.0, beta: float = 0.0,
                     check: str = "syndrome", early_stop: bool = True,
-                    msg_dtype=None) -> DecodeResult:
-    """Flooding min-sum decode. chan: [B, L, Z] channel LLRs (AWGN output works
-    directly: only relative magnitudes matter, matching the reference which feeds
-    raw channel samples, LDPC_Decoder.cu:203)."""
+                    msg_dtype=None, rule: str = "minsum") -> DecodeResult:
+    """Flooding BP decode. chan: [B, L, Z] channel LLRs.  ``rule='minsum'``
+    (default, scale-invariant: raw AWGN output works directly, matching the
+    reference which feeds raw channel samples, LDPC_Decoder.cu:203) or
+    ``rule='bp'`` (exact sum-product; chan must be true LLRs 2y/sigma^2)."""
     B = chan.shape[0]
     dtype = msg_dtype or chan.dtype
     chan = chan.astype(dtype)
     E = code.num_edges
+    cn_fn = _CN_RULES[rule]
 
     def one_iter(R):
         _, hard, Q = _vn_update(code, chan, R)
         newR = [None] * E
         for j in range(code.J):
-            Rr = _cn_minsum(_row_stack(code, Q, j), alpha, beta)
+            Rr = cn_fn(_row_stack(code, Q, j), alpha, beta)
             for i, e in enumerate(code.row_edges[j]):
                 newR[e] = jnp.roll(Rr[:, i], int(code.edges[e, 2]), axis=-1)
         return jnp.stack(newR, axis=1), hard
@@ -175,7 +206,7 @@ def make_flooding_fn(code: QCBinaryCode, num_iters: int, alpha: float = 1.0,
 def decode_layered(chan: jax.Array, code: QCBinaryCode, num_iters: int,
                    alpha: float = 1.0, beta: float = 0.0,
                    check: str = "syndrome", early_stop: bool = True,
-                   msg_dtype=None) -> DecodeResult:
+                   msg_dtype=None, rule: str = "minsum") -> DecodeResult:
     """Row-layered min-sum: each block-row's CN update is applied to the running
     LLR totals immediately, converging in roughly half the iterations.  The
     binary reference only ships flooding; this is the layered schedule named in
@@ -185,6 +216,7 @@ def decode_layered(chan: jax.Array, code: QCBinaryCode, num_iters: int,
     dtype = msg_dtype or chan.dtype
     chan = chan.astype(dtype)
     E = code.num_edges
+    cn_fn = _CN_RULES[rule]
 
     def body(state):
         it, total, R, _, _ = state
@@ -195,7 +227,7 @@ def decode_layered(chan: jax.Array, code: QCBinaryCode, num_iters: int,
             Qr = jnp.stack(
                 [jnp.roll(total[:, int(code.edges[e, 1])] - newR[e], -s, axis=-1)
                  for e, s in zip(idx, shifts)], axis=1)
-            Rr = _cn_minsum(Qr, alpha, beta)
+            Rr = cn_fn(Qr, alpha, beta)
             for i, (e, s) in enumerate(zip(idx, shifts)):
                 new_col = jnp.roll(Rr[:, i], s, axis=-1)
                 l = int(code.edges[e, 1])

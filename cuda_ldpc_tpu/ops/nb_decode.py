@@ -49,7 +49,12 @@ _HADAMARD_CACHE: dict[int, np.ndarray] = {}
 
 def _hadamard(q: int) -> np.ndarray:
     """Walsh-Hadamard matrix H[a, b] = (-1)^popcount(a & b) (natural order).
-    Self-inverse up to 1/q; diagonalizes convolution over the XOR group."""
+    Self-inverse up to 1/q; diagonalizes convolution over the XOR group.
+    Valid ONLY for q = 2^m (GF(2^m), where symbol addition IS bitwise XOR,
+    myNBLDPC/src/GF.cpp:43); any other q would silently yield a
+    non-orthogonal matrix and wrong decodes."""
+    if q <= 0 or (q & (q - 1)) != 0:
+        raise ValueError(f"Hadamard/QSPA requires q = 2^m, got q={q}")
     H = _HADAMARD_CACHE.get(q)
     if H is None:
         anb = np.arange(q)[:, None] & np.arange(q)[None, :]

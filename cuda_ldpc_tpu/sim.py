@@ -27,6 +27,7 @@ semantics: the sweep is deterministic given the seed).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import hashlib
 import json
 import os
@@ -59,6 +60,11 @@ class SnrStats:
     decode_s: float = 0.0
     info_bits: int = 0
     units_per_frame: int = 1   # bits (binary) or symbols (NB) counted per frame
+    # Frames covered by decode_s/info_bits.  The FIRST collected batch of each
+    # point (per process run) is excluded from timing — it absorbs jit
+    # (re)compilation and warmup — so throughput numbers are steady-state and
+    # comparable across runs/resumes (frames/FER counters still include it).
+    timed_frames: int = 0
 
     @property
     def fer(self) -> float:
@@ -76,7 +82,7 @@ class SnrStats:
                     f"  {self.fer:6.4e}  {self.ber:6.4e}  {avg_it:.2f}"
                     f"  {self.false_frames / max(self.frames, 1):6.4e}"
                     f"  {self.alarm_frames / max(self.frames, 1):6.4e}")
-        sec = self.decode_s / max(self.frames, 1)
+        sec = self.decode_s / max(self.timed_frames or self.frames, 1)
         return (f" {self.snr:.1f} {self.frames:8d}  {self.error_frames:4d}"
                 f"  {self.fer:6.4e}  {self.ber:6.4e}  {avg_it:.2f}"
                 f"  {sec:6.4e}sec")
@@ -210,6 +216,7 @@ def _run_sweep(kind: str, sweep: cfg.SweepConfig, units_per_frame: int,
             stats = SnrStats(**cur["stats"])
             batch_idx = cur["batch_idx"]
         collected = batch_idx
+        first_collect = collected   # absorbs (re)compile+warmup; untimed
         next_display = (stats.frames // sweep.display_step + 1) * sweep.display_step
         t_last = time.perf_counter()
 
@@ -223,9 +230,11 @@ def _run_sweep(kind: str, sweep: cfg.SweepConfig, units_per_frame: int,
             stats.iter_sum += its
             stats.false_frames += ff
             stats.alarm_frames += af
-            stats.decode_s += now - t_last   # marginal wall time
+            if collected != first_collect:     # steady-state batches only
+                stats.decode_s += now - t_last   # marginal wall time
+                stats.info_bits += nf * info_bits_per_frame
+                stats.timed_frames += nf
             t_last = now
-            stats.info_bits += nf * info_bits_per_frame
             collected += 1
             ck.save(stats, collected, units_per_frame)
             if stats.frames >= next_display:
@@ -260,10 +269,18 @@ def _run_sweep(kind: str, sweep: cfg.SweepConfig, units_per_frame: int,
 # --------------------------------------------------------------------------
 
 def _pick_binary_decode(code: QCBinaryCode, dec_cfg: cfg.BinaryDecoderConfig):
-    """Kernel dispatch: fused Pallas on TPU when the code's Z suits it."""
+    """Kernel dispatch: fused Pallas on TPU when the code's Z suits it.
+    rule='bp' (exact sum-product) has no fused kernel; it runs the jnp path
+    (XLA fuses the tanh chain well enough for a non-headline decoder)."""
     from cuda_ldpc_tpu.ops import pallas_minsum
     layered = dec_cfg.schedule == "layered"
     want = dec_cfg.kernel
+    if dec_cfg.rule != "minsum":
+        if want == "pallas":
+            raise ValueError(f"rule={dec_cfg.rule!r} has no pallas kernel; "
+                             "use --kernel jnp/auto")
+        base = minsum.decode_layered if layered else minsum.decode_flooding
+        return functools.partial(base, rule=dec_cfg.rule)
     on_tpu = jax.default_backend() == "tpu"
     if want == "pallas" or (want == "auto" and on_tpu
                             and pallas_minsum.supports(code)):
@@ -300,6 +317,11 @@ def make_binary_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
     col = enc is None and decode in (pallas_minsum.decode_flooding,
                                      pallas_minsum.decode_layered)
     shard = batch_sharding(mesh, 3, axis_pos=1 if col else 0)
+    # min-sum is scale-invariant so raw channel samples work (the reference
+    # feeds y directly, LDPC_Decoder.cu:203); exact sum-product needs true
+    # LLRs 2y/sigma^2
+    llr_scale = ((lambda chan, sigma: chan * (2.0 / (sigma * sigma)))
+                 if dec_cfg.rule == "bp" else (lambda chan, sigma: chan))
 
     def step(key, sigma):
         if col:
@@ -309,7 +331,8 @@ def make_binary_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
                                                      dtype=jnp.float32)
             else:
                 chan = x
-            chan = jax.lax.with_sharding_constraint(chan, shard)
+            chan = jax.lax.with_sharding_constraint(llr_scale(chan, sigma),
+                                                    shard)
             res = decode(chan, code, dec_cfg.max_iters, alpha=dec_cfg.alpha,
                          beta=dec_cfg.beta, check=dec_cfg.check,
                          msg_dtype=dtype, col_major=True)
@@ -339,7 +362,7 @@ def make_binary_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
             chan = x + sigma * noise
         else:
             chan = x
-        chan = jax.lax.with_sharding_constraint(chan, shard)
+        chan = jax.lax.with_sharding_constraint(llr_scale(chan, sigma), shard)
         res = decode(chan, code, dec_cfg.max_iters, alpha=dec_cfg.alpha,
                      beta=dec_cfg.beta, check=dec_cfg.check,
                      msg_dtype=dtype)
@@ -367,6 +390,9 @@ def make_binary_ref_channel_step(code: QCBinaryCode,
     LCG/Box-Muller noise sequence (bldpc_实习/LDPC_Encoder.cu:25-56) via the
     native library (falling back to the pure-Python LCG)."""
     dec_cfg = sim.decoder
+    if dec_cfg.rule != "minsum":
+        raise ValueError("channel='reference' exists for bit-parity with the "
+                         "reference's min-sum; rule='bp' is unsupported there")
     mesh = mesh or get_mesh()
     B = sim.batch_per_device * mesh.devices.size
     shard = batch_sharding(mesh, 3)
@@ -434,7 +460,9 @@ def run_binary_sweep(sim: cfg.BinarySimConfig, mesh=None,
     d = sim.decoder
     _write_logo("binary", [
         f" code: {code!r}",
-        f" decoder: {d.schedule} min-sum, maxIT={d.max_iters}, "
+        f" decoder: {d.schedule} "
+        f"{'min-sum' if d.rule == 'minsum' else 'sum-product (bp)'}, "
+        f"maxIT={d.max_iters}, "
         f"alpha={d.alpha}, beta={d.beta}, check={d.check}, "
         f"kernel={d.kernel}, dtype={d.msg_dtype}",
         f" tx: {sim.tx}, noise: {sim.add_noise}, batch: {B} "
@@ -529,14 +557,20 @@ def make_binary_packed_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
     dtype = jnp.dtype(dec_cfg.msg_dtype)
 
     def step(key, sigma_vec, pid_vec):
+        bp = dec_cfg.rule == "bp"     # sum-product needs true LLRs 2y/sigma^2
+        scale_vec = 2.0 / (sigma_vec * sigma_vec) if bp else None
         if col:                       # native [L, B, Z] layout (see BENCH.md)
             noise = jax.random.normal(key, (code.L, B, code.Z),
                                       dtype=jnp.float32)
             chan = 1.0 + sigma_vec[None, :, None] * noise  # all-zero codeword
+            if bp:
+                chan = chan * scale_vec[None, :, None]
         else:
             noise = jax.random.normal(key, (B, code.L, code.Z),
                                       dtype=jnp.float32)
             chan = 1.0 + sigma_vec[:, None, None] * noise
+            if bp:
+                chan = chan * scale_vec[:, None, None]
         chan = jax.lax.with_sharding_constraint(chan, shard)
         if col:
             res = decode(chan, code, dec_cfg.max_iters, alpha=dec_cfg.alpha,
@@ -620,6 +654,7 @@ def _run_packed(kind: str, sweep: cfg.SweepConfig, points: list[float],
             now = time.perf_counter()
             secs = now - t_last
             t_last = now
+            timed = consumed != bi0   # first batch absorbs compile; untimed
             for i in act:
                 nf, ef, eu, ff, af, its = (int(x) for x in seg[i])
                 st = stats[i]
@@ -629,8 +664,10 @@ def _run_packed(kind: str, sweep: cfg.SweepConfig, points: list[float],
                 st.false_frames += ff
                 st.alarm_frames += af
                 st.iter_sum += its
-                st.decode_s += secs * nf / B
-                st.info_bits += nf * info_bits_per_frame
+                if timed:
+                    st.decode_s += secs * nf / B
+                    st.info_bits += nf * info_bits_per_frame
+                    st.timed_frames += nf
             consumed += 1
             if ck:
                 ck.state["packed"] = {
@@ -665,8 +702,9 @@ def run_binary_sweep_packed(sim: cfg.BinarySimConfig, mesh=None,
     msg_cols = code.L - code.J if sim.decoder.message_only else code.L
     banner = [
         f" code: {code!r}  [PACKED multi-SNR sweep, {len(points)} points]",
-        f" decoder: {sim.decoder.schedule} min-sum, maxIT="
-        f"{sim.decoder.max_iters}, check={sim.decoder.check}",
+        f" decoder: {sim.decoder.schedule} "
+        f"{'min-sum' if sim.decoder.rule == 'minsum' else 'sum-product (bp)'}, "
+        f"maxIT={sim.decoder.max_iters}, check={sim.decoder.check}",
         f" sweep: {sweep.snr_type} {sweep.snr_start}:{sweep.snr_step}:"
         f"{sweep.snr_stop}, stop at >={sweep.least_error_frames} errors & "
         f">={sweep.least_test_frames} frames, seed={sweep.seed}",

@@ -7,7 +7,7 @@ import pytest
 
 from cuda_ldpc_tpu.models.qc_binary import QCBinaryCode
 from cuda_ldpc_tpu.ops import channel, minsum
-from tests.oracles import minsum_flooding_dense
+from tests.oracles import bp_flooding_dense, minsum_flooding_dense
 
 
 def tiny_code():
@@ -91,6 +91,53 @@ def test_early_stop_vs_zero_check_equivalence():
     errs2 = np.asarray(r2.hard[:, :code.L - code.J]).any(axis=(1, 2))
     np.testing.assert_array_equal(ok2, ~errs2)
     assert np.asarray(r1.ok).sum() >= ok2.sum() - 1  # syndrome can pass non-zero words
+
+
+@pytest.mark.parametrize("iters", [1, 3, 7])
+def test_bp_matches_oracle_tiny(iters):
+    """rule='bp' (exact sum-product, the reference's declared-but-unimplemented
+    decoder_method=1, define.cuh:33-34) vs an independent float64 tanh-product
+    oracle.  Hard decisions compared where the oracle total is not razor-thin
+    (f32 phi-domain vs f64 tanh-product differ only at ~1e-6 totals)."""
+    code = tiny_code()
+    rng = np.random.default_rng(5)
+    B = 4
+    llr = rng.normal(loc=0.5, scale=2.0,
+                     size=(B, code.L, code.Z)).astype(np.float32)
+    res = minsum.decode_flooding(jnp.asarray(llr), code, iters,
+                                 early_stop=False, check="none", rule="bp")
+    H = code.dense_H
+    for b in range(B):
+        hard_o, total_o, _, _ = bp_flooding_dense(
+            llr[b].reshape(-1).astype(np.float64), H, iters)
+        firm = np.abs(total_o) > 1e-3
+        got = np.asarray(res.hard[b]).reshape(-1).astype(bool)
+        np.testing.assert_array_equal(got[firm], hard_o[firm])
+
+
+def test_bp_not_worse_than_minsum():
+    """At a waterfall operating point exact BP must correct at least as many
+    frames as (unnormalized) min-sum on the same noise realizations."""
+    code = small_shipped_code()
+    sigma = channel.sigma_from_snr(2.6, code.rate, "ebn0")
+    llr = channel.bpsk_awgn_llr(jax.random.PRNGKey(9),
+                                jnp.zeros((code.L, code.Z)), sigma, 64)
+    # bp needs true LLRs; min-sum is scale-invariant so the scale is harmless
+    llr_true = llr * (2.0 / sigma**2)
+    r_ms = minsum.decode_flooding(llr_true, code, 20, check="zero")
+    r_bp = minsum.decode_flooding(llr_true, code, 20, check="zero", rule="bp")
+    assert int(r_bp.ok.sum()) >= int(r_ms.ok.sum())
+
+
+@pytest.mark.parametrize("rule", ["minsum", "bp"])
+def test_layered_rules_decode_allzero(rule):
+    code = small_shipped_code()
+    sigma = channel.sigma_from_snr(5.0, code.rate, "ebn0")
+    llr = channel.bpsk_awgn_llr(jax.random.PRNGKey(4),
+                                jnp.zeros((code.L, code.Z)), sigma, 8)
+    res = minsum.decode_layered(llr * (2.0 / sigma**2), code, 30, rule=rule)
+    assert bool(jnp.all(res.ok))
+    assert not bool(jnp.any(res.hard))
 
 
 def test_layered_converges_faster_or_equal():

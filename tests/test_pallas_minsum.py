@@ -113,3 +113,47 @@ def test_col_major_matches_row_major(code):
                                      interpret=True)
     np.testing.assert_array_equal(np.asarray(d.hard),
                                   np.asarray(c.hard.transpose(1, 0, 2)))
+
+
+@pytest.mark.slow
+def test_tpu_compiled_parity():
+    """Mosaic-COMPILED kernel vs jnp reference on the real TPU (the interpret
+    tests above cannot catch layout/roll lowering regressions).  Runs in a
+    subprocess because conftest pins this process to CPU; skips cleanly when
+    no TPU is reachable.  1-4 min (remote pallas compile)."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+    script = r"""
+import sys
+import jax, numpy as np, jax.numpy as jnp
+if jax.default_backend() not in ("tpu", "axon") and \
+        jax.devices()[0].platform not in ("tpu", "axon"):
+    print("NO_TPU"); sys.exit(0)
+from cuda_ldpc_tpu import QCBinaryCode
+from cuda_ldpc_tpu.ops import channel, minsum, pallas_minsum
+code = QCBinaryCode.from_registry("J4_L24_Z256")
+cw = jnp.zeros((code.L, code.Z))
+chan = channel.bpsk_awgn_llr(jax.random.PRNGKey(11), cw, 0.55, 16)
+a = minsum.decode_flooding(chan, code, 6, check="zero", early_stop=False)
+b = pallas_minsum.decode_flooding(chan, code, 6, check="zero",
+                                  early_stop=False)
+np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
+np.testing.assert_array_equal(np.asarray(a.ok), np.asarray(b.ok))
+c = minsum.decode_layered(chan, code, 4, check="syndrome")
+d = pallas_minsum.decode_layered(chan, code, 4, check="syndrome")
+np.testing.assert_array_equal(np.asarray(c.hard), np.asarray(d.hard))
+np.testing.assert_array_equal(np.asarray(c.ok), np.asarray(d.ok))
+print("TPU_PARITY_OK")
+"""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = (str(pathlib.Path(__file__).resolve().parents[1])
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    out = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stdout + out.stderr
+    if "NO_TPU" in out.stdout:
+        pytest.skip("no TPU backend reachable")
+    assert "TPU_PARITY_OK" in out.stdout, out.stdout + out.stderr
