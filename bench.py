@@ -28,10 +28,12 @@ def main() -> int:
     platform = jax.devices()[0].platform
     # Per-call dispatch through the device runtime costs ~25-30 ms flat, so
     # throughput is batch-amortized: B=256 -> 0.18 Gb/s, B=8192 -> 1.8 Gb/s,
-    # B=16384 -> 2.16 Gb/s, B=32768 -> 2.36 Gb/s (marginal cost ~6-7
-    # us/frame, pure-kernel asymptote ~2.6 Gb/s).  32768 fits in ~11.5 GB of
-    # the 16 GB HBM with the two col-major channel buffers below (no
-    # transpose temp); the reference's own batch is 4096 (define.cuh:60).
+    # B=16384 -> 2.16 Gb/s, B=32768 -> 2.36 Gb/s synchronous / 2.6 Gb/s
+    # pipelined (marginal cost ~6-7 us/frame; B=49152 pipelined measures the
+    # same 2.6 Gb/s, i.e. the pipeline fully hides dispatch at 32768 already).
+    # 32768 fits in ~12.5 GB of the 16 GB HBM with the two col-major channel
+    # buffers below plus two in-flight hard outputs (no transpose temp); the
+    # reference's own batch is 4096 (define.cuh:60).
     B = int(os.environ.get("BENCH_BATCH",
                            "32768" if platform != "cpu" else "8"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
@@ -66,7 +68,7 @@ def main() -> int:
             msg_dtype=dtype))
         chan_shape = (B, code.L, code.Z)
 
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    reps = int(os.environ.get("BENCH_REPS", "8"))
     # alternating channel buffers keep device memory bounded at large B
     # (B=32768 is ~5 GB/buffer); above that a single buffer must be reused
     # (2 buffers + the int8 hard output would exceed the 16 GB HBM).  JAX
@@ -87,18 +89,25 @@ def main() -> int:
     profile_dir = os.environ.get("BENCH_PROFILE")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    times = []
-    for chan in chans:
-        t0 = time.perf_counter()
-        res = decode(chan)
-        np.asarray(res.ok)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    # Sustained pipelined throughput: keep ONE decode in flight (launch k+1,
+    # then fetch k's ok) exactly like the production sweep loops in sim.py,
+    # so the ~25-30 ms flat per-call dispatch/fetch through the device
+    # runtime overlaps kernel execution instead of serializing with it.
+    # Peak HBM with one batch in flight: chan buffers + 2 live hard outputs
+    # (B=32768: 2x5 GB chan + 2x1.26 GB hard ~= 12.5 GB of 16 GB).
+    t0 = time.perf_counter()
+    prev = decode(chans[0])
+    for chan in chans[1:]:
+        nxt = decode(chan)
+        np.asarray(prev.ok)          # fetch batch k while k+1 runs
+        prev = nxt
+    np.asarray(prev.ok)
+    dt = time.perf_counter() - t0
     if profile_dir:
         jax.profiler.stop_trace()
 
     info_bits = B * code.k
-    mbps = info_bits / dt / 1e6
+    mbps = reps * info_bits / dt / 1e6
     print(json.dumps({
         "metric": "binary_minsum_info_throughput_per_chip",
         "value": round(mbps, 2),
