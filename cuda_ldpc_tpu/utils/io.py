@@ -25,6 +25,21 @@ import numpy as np
 _BLOCKH_NAME = re.compile(r"J(\d+)_L(\d+)_Z(\d+)_BlockH")
 
 
+def _scan_ints(path: str) -> np.ndarray:
+    """All integer tokens of a pure-numeric file as one flat int64 array.
+    Uses the native C scanner (native/ldpc_host.cpp ref_scan_ints — the
+    reference parses these files with fscanf loops) when the library is
+    built, else a NumPy text parse."""
+    try:
+        from cuda_ldpc_tpu.utils import native
+        if native.available():
+            return native.scan_ints(path)
+    except Exception:
+        pass
+    with open(path) as f:
+        return np.array(f.read().split(), dtype=np.int64)
+
+
 def infer_blockh_dims(filename: str) -> tuple[int, int, int] | None:
     m = _BLOCKH_NAME.search(filename)
     if m:
@@ -43,7 +58,7 @@ def parse_blockh(path: str, J: int | None = None, L: int | None = None,
         Z = Z if Z is not None else dims[2]
     if J is None or L is None or Z is None:
         raise ValueError(f"cannot infer (J, L, Z) for {path}; pass them explicitly")
-    vals = np.loadtxt(path, dtype=np.int64).reshape(-1)
+    vals = _scan_ints(path)
     if vals.size != J * L:
         raise ValueError(f"{path}: expected {J}*{L}={J*L} entries, got {vals.size}")
     base = vals.reshape(J, L)
@@ -68,28 +83,40 @@ class NBCodeFile:
     cn_gf: np.ndarray            # [M, max_dc] GF coefficient, 0 pad
 
 
+def _fill_padded(weights: np.ndarray, pairs: np.ndarray, max_d: int):
+    """Scatter per-node (index, coeff) pairs into dense padded [n, max_d]
+    tables (links 0-based, -1 pad; coeffs 0 pad) without a Python loop."""
+    n = weights.shape[0]
+    links = np.full((n, max_d), -1, dtype=np.int64)
+    gf = np.zeros((n, max_d), dtype=np.int64)
+    rows = np.repeat(np.arange(n), weights)
+    starts = np.concatenate(([0], np.cumsum(weights)[:-1]))
+    slots = np.arange(weights.sum()) - np.repeat(starts, weights)
+    links[rows, slots] = pairs[:, 0] - 1
+    gf[rows, slots] = pairs[:, 1]
+    return links, gf
+
+
 def parse_nb_code(path: str) -> NBCodeFile:
-    with open(path) as f:
-        tok = iter(f.read().split())
-    nxt = lambda: int(next(tok))
-    n_sym, m_sym, q = nxt(), nxt(), nxt()
-    max_dv, max_dc = nxt(), nxt()
-    vn_weight = np.array([nxt() for _ in range(n_sym)], dtype=np.int64)
-    cn_weight = np.array([nxt() for _ in range(m_sym)], dtype=np.int64)
-    vn_links = np.full((n_sym, max_dv), -1, dtype=np.int64)
-    vn_gf = np.zeros((n_sym, max_dv), dtype=np.int64)
-    for i in range(n_sym):
-        for d in range(vn_weight[i]):
-            vn_links[i, d] = nxt() - 1
-            vn_gf[i, d] = nxt()
-    cn_links = np.full((m_sym, max_dc), -1, dtype=np.int64)
-    cn_gf = np.zeros((m_sym, max_dc), dtype=np.int64)
-    for i in range(m_sym):
-        for d in range(cn_weight[i]):
-            cn_links[i, d] = nxt() - 1
-            cn_gf[i, d] = nxt()
-    return NBCodeFile(n_sym, m_sym, q, max_dv, max_dc, vn_weight, cn_weight,
-                      vn_links, vn_gf, cn_links, cn_gf)
+    t = _scan_ints(path)
+    n_sym, m_sym, q, max_dv, max_dc = (int(x) for x in t[:5])
+    pos = 5
+    vn_weight = t[pos:pos + n_sym]
+    pos += n_sym
+    cn_weight = t[pos:pos + m_sym]
+    pos += m_sym
+    nv = int(vn_weight.sum())
+    nc = int(cn_weight.sum())
+    if t.size < pos + 2 * nv + 2 * nc:
+        raise ValueError(f"{path}: truncated adjacency file "
+                         f"({t.size} ints, need {pos + 2 * nv + 2 * nc})")
+    vn_links, vn_gf = _fill_padded(vn_weight,
+                                   t[pos:pos + 2 * nv].reshape(-1, 2), max_dv)
+    pos += 2 * nv
+    cn_links, cn_gf = _fill_padded(cn_weight,
+                                   t[pos:pos + 2 * nc].reshape(-1, 2), max_dc)
+    return NBCodeFile(n_sym, m_sym, q, max_dv, max_dc, vn_weight.copy(),
+                      cn_weight.copy(), vn_links, vn_gf, cn_links, cn_gf)
 
 
 def parse_constellation(path: str, n_points: int) -> np.ndarray:

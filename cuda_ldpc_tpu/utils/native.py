@@ -38,6 +38,9 @@ def _load():
                                     pi32]
     lib.ref_awgn_complex.argtypes = [i32, i32, i32, pd, pd, i64, f64, pd, pd,
                                      pi32]
+    pi64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.ref_scan_ints.argtypes = [ctypes.c_char_p, pi64, i64]
+    lib.ref_scan_ints.restype = i64
     _lib = lib
     return lib
 
@@ -70,6 +73,26 @@ def awgn_binary(codeword: np.ndarray, sigma: float, n_frames: int,
     lib.ref_awgn_binary(seeds[0], seeds[1], seeds[2], cw, cw.shape[0],
                         n_frames, sigma, out.reshape(-1), s)
     return out, tuple(int(x) for x in s)
+
+
+def scan_ints(path: str, max_out: int | None = None) -> np.ndarray:
+    """All integer tokens of a pure-numeric code-definition file (BlockH /
+    NB adjacency), parsed at native speed (the reference loads these with
+    fscanf loops, bldpc_实习/Simulation.cu:292-354,
+    myNBLDPC/src/Simulation.cpp:347-467).  Grows the buffer if the first
+    guess (file_size/2 tokens) is too small."""
+    lib = _load()
+    import os
+    cap = max_out if max_out is not None else max(os.path.getsize(path) // 2,
+                                                  1024)
+    while True:
+        out = np.empty(cap, dtype=np.int64)
+        n = lib.ref_scan_ints(path.encode(), out, cap)
+        if n < 0:
+            raise OSError(f"cannot read {path}")
+        if n <= cap:
+            return out[:n]
+        cap = int(n)
 
 
 def awgn_complex(tx: np.ndarray, sigma: float, seeds=(173, 173, 173)):

@@ -12,6 +12,8 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 
 namespace {
 
@@ -88,6 +90,49 @@ void ref_awgn_complex(int32_t seed0, int32_t seed1, int32_t seed2,
   seeds_out[0] = lcg.s0;
   seeds_out[1] = lcg.s1;
   seeds_out[2] = lcg.s2;
+}
+
+// Whitespace-separated integer scan of an entire file — the native loader
+// for the reference's pure-numeric code-definition formats: BlockH base
+// matrices (bldpc_实习/Simulation.cu:292-354 reads them with fscanf) and
+// non-binary adjacency files (myNBLDPC/src/Simulation.cpp:347-467).
+// Writes at most max_out values into out; returns the TOTAL number of
+// integer tokens in the file (callers size-check), or -1 on IO error.
+// Tokens are optionally-signed digit runs; any other byte is a separator.
+int64_t ref_scan_ints(const char* path, int64_t* out, int64_t max_out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  char* buf = static_cast<char*>(std::malloc(size + 1));
+  if (!buf) {
+    std::fclose(f);
+    return -1;
+  }
+  size_t got = std::fread(buf, 1, size, f);
+  std::fclose(f);
+  buf[got] = '\0';
+  int64_t n = 0;
+  const char* p = buf;
+  const char* end = buf + got;
+  while (p < end) {
+    bool neg = false;
+    if (*p == '-' && p + 1 < end && p[1] >= '0' && p[1] <= '9') {
+      neg = true;
+      ++p;
+    }
+    if (*p >= '0' && *p <= '9') {
+      int64_t v = 0;
+      while (p < end && *p >= '0' && *p <= '9') v = v * 10 + (*p++ - '0');
+      if (n < max_out) out[n] = neg ? -v : v;
+      ++n;
+    } else {
+      ++p;
+    }
+  }
+  std::free(buf);
+  return n;
 }
 
 }  // extern "C"

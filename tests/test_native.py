@@ -35,6 +35,38 @@ def test_awgn_complex_matches_python():
     np.testing.assert_allclose(got, ref, atol=1e-9)
 
 
+def test_scan_ints_matches_python(tmp_path):
+    """Native integer-file scanner vs Python tokenization, incl. negatives,
+    arbitrary separators, and buffer growth."""
+    p = tmp_path / "ints.txt"
+    rng = np.random.default_rng(0)
+    vals = rng.integers(-5000, 5000, size=4096)
+    p.write_text("  ".join(str(v) for v in vals[:100]) + "\n" +
+                 "\n".join(str(v) for v in vals[100:]))
+    got = native.scan_ints(str(p))
+    np.testing.assert_array_equal(got, vals)
+    # forced buffer growth path
+    got2 = native.scan_ints(str(p), max_out=7)
+    np.testing.assert_array_equal(got2, vals)
+
+
+def test_scan_ints_on_shipped_codes():
+    """Every registry code file parses identically through the native scan
+    and the Python fallback (parse_* call whichever is available; this pins
+    both paths)."""
+    import pathlib
+
+    from cuda_ldpc_tpu.utils import io as ldpc_io
+    for name, sub in [("J4_L24_Z96_BlockH", "bldpc_实习"),
+                      ("BDS.576.288.GF.64", "myNBLDPC")]:
+        p = pathlib.Path("/root/reference") / sub / f"{name}.txt"
+        if not p.is_file():
+            pytest.skip("reference assets unavailable")
+        a = native.scan_ints(str(p))
+        b = np.array(p.read_text().split(), dtype=np.int64)
+        np.testing.assert_array_equal(a, b)
+
+
 def test_native_is_fast():
     import time
     cw = np.zeros(2304, dtype=np.uint8)
