@@ -25,9 +25,12 @@ decisions / ok / iteration count are written ONCE after the iteration loop
 (the totals persist in scratch), not per iteration like the reference's
 per-iteration D2H copy.
 
-The circulant permutation is ``pltpu.roll`` along the trailing Z (lane) axis —
-requires Z % 128 == 0 (true for the flagship Z=1280 and the Z=256/512 codes;
-``supports(code)`` gates dispatch, smaller-Z codes use the jnp path).
+The circulant permutation is ``pltpu.roll`` along the trailing Z (lane) axis.
+Z % 128 == 0 (the flagship Z=1280 and the Z=256/512 codes) rotates in one
+roll at full lane efficiency; any other Z >= 64 (Z=64/96/160 — every other
+shipped BlockH code) runs with the lane axis padded to the next 128 multiple
+and the rotation done as two rolls + a lane select (see _roll).
+``supports(code)`` gates dispatch; tiny-Z codes use the jnp path.
 
 VMEM budget (f32, TB=8, J15_L30_Z1280): R 115*8*1280*4 = 4.7 MB, totals
 30*8*1280*4 = 1.2 MB, chan tile 1.2 MB — comfortably under 16 MB.
@@ -49,30 +52,66 @@ from cuda_ldpc_tpu.ops.minsum import DecodeResult
 
 
 def _roll(x, shift: int, size: int):
-    """pltpu.roll with jnp.roll semantics and a non-negative shift.  Mosaic's
-    dynamic_rotate only handles 32-bit lanes, so narrow dtypes round-trip
-    through f32 (rolls are ~free — ablation showed no cost difference)."""
+    """Circulant rotation of the first ``size`` lanes with jnp.roll semantics.
+
+    When ``size`` equals the (128-aligned) lane width this is a single
+    pltpu.roll.  For padded lanes (size < width, e.g. Z=96 padded to 128 or
+    Z=160 padded to 256) it is TWO full-width rolls + a lane select:
+    y[i] = x[i-s] for i >= s and x[i-s+size] for i < s — valid lanes only
+    ever read valid lanes, so the padding never contaminates the result
+    (padded output lanes are garbage and are masked at the reductions).
+    Mosaic's dynamic_rotate only handles 32-bit lanes, so narrow dtypes
+    round-trip through f32 (rolls are ~free — ablation showed no cost
+    difference)."""
     s = shift % size
     if s == 0:
         return x
     if x.dtype.itemsize != 4:
-        return pltpu.roll(x.astype(jnp.float32), s, axis=1).astype(x.dtype)
-    return pltpu.roll(x, s, axis=1)
+        return _roll(x.astype(jnp.float32), s, size).astype(x.dtype)
+    width = x.shape[-1]
+    if width == size:
+        return pltpu.roll(x, s, axis=1)
+    r1 = pltpu.roll(x, s, axis=1)
+    r2 = pltpu.roll(x, (s - size) % width, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
+    return jnp.where(lane >= s, r1, r2)
+
+
+def _lane_pad(Z: int) -> int:
+    """Lane width for a lifting factor: Z rounded up to a multiple of 128."""
+    return ((Z + 127) // 128) * 128
+
+
+def _valid_mask(shape, Z: int) -> jax.Array:
+    """Bool mask selecting the true-Z lanes of a padded [.., lanes] tile."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    return lane < Z
 
 
 def supports(code: QCBinaryCode) -> bool:
-    return code.Z % 128 == 0
+    """Z % 128 == 0 runs at full lane efficiency; other Z >= 64 run with
+    padded lanes (Z=96 -> 128, Z=160 -> 256: 75%/63% lane efficiency, still
+    ~an order of magnitude over the jnp path).  Tiny-Z codes stay on jnp."""
+    return code.Z % 128 == 0 or code.Z >= 64
 
 
 def _frame_ok(T_ref, code: QCBinaryCode, check: str, tile_b: int):
     """Per-frame convergence flag [TB, 1] from the totals in T_ref."""
     L, Z, J = code.L, code.Z, code.J
     edges = code.edges
+    lanes = T_ref.shape[-1]
+    pad = lanes != Z               # padded lanes hold garbage: mask reductions
+
+    def masked_count(bits):        # bits: [TB, lanes] int32 in {0, 1}
+        if pad:
+            bits = jnp.where(_valid_mask(bits.shape, Z), bits, 0)
+        return jnp.sum(bits, axis=1, keepdims=True)
+
     if check == "zero":            # all-zero-codeword check (LDPC_Decoder.cu:137)
         acc = jnp.zeros((tile_b, 1), jnp.int32)
         for l in range(L - J):     # message bits only (Message_CW=0)
-            acc += jnp.sum((T_ref[l].astype(jnp.float32) < 0).astype(jnp.int32),
-                           axis=1, keepdims=True)
+            acc += masked_count(
+                (T_ref[l].astype(jnp.float32) < 0).astype(jnp.int32))
         return acc == 0
     if check == "syndrome":
         viol = jnp.zeros((tile_b, 1), jnp.int32)
@@ -83,7 +122,7 @@ def _frame_ok(T_ref, code: QCBinaryCode, check: str, tile_b: int):
                 h = (T_ref[l].astype(jnp.float32) < 0).astype(jnp.int32)
                 h = _roll(h, -s, Z)
                 par = h if par is None else jnp.bitwise_xor(par, h)
-            viol += jnp.sum(par, axis=1, keepdims=True)
+            viol += masked_count(par)
         return viol == 0
     return jnp.zeros((tile_b, 1), jnp.bool_)
 
@@ -95,15 +134,16 @@ def _cn_phase(T_ref, R_ref, code: QCBinaryCode, alpha: float, beta: float,
     delta to the running totals row by row (mirrors minsum.decode_layered)."""
     L, Z = code.L, code.Z
     edges = code.edges
+    lanes = R_ref.shape[-1]        # Z rounded up to a 128 multiple
     dtype = jnp.float32
     store = R_ref.dtype
     big = jnp.asarray(3.4e38, dtype)
     for j in range(code.J):
         idx = code.row_edges[j]
         negs = []
-        m1 = jnp.full((tile_b, Z), big, dtype)
-        m2 = jnp.full((tile_b, Z), big, dtype)
-        am = jnp.zeros((tile_b, Z), jnp.int32)
+        m1 = jnp.full((tile_b, lanes), big, dtype)
+        m2 = jnp.full((tile_b, lanes), big, dtype)
+        am = jnp.zeros((tile_b, lanes), jnp.int32)
         for slot, e in enumerate(idx):
             l, s = int(edges[e, 1]), int(edges[e, 2])
             q = T_ref[l].astype(dtype) - R_ref[e].astype(dtype)
@@ -257,24 +297,26 @@ def _run_kernel(kernel, chan, code, tile_b, dtype, interpret,
         chan = chan.astype(jnp.float32)
         nt = pl.cdiv(B, tile_b)
         Bp = nt * tile_b
-        if Bp != B:
-            chan = jnp.pad(chan, ((0, 0), (0, Bp - B), (0, 0)))
+        Zp = _lane_pad(Z)
+        if Bp != B or Zp != Z:
+            chan = jnp.pad(chan, ((0, 0), (0, Bp - B), (0, Zp - Z)))
     else:
         B, L, Z = chan.shape
         nt = pl.cdiv(B, tile_b)
         Bp = nt * tile_b
-        if Bp != B:
-            chan = jnp.pad(chan, ((0, Bp - B), (0, 0), (0, 0)))
+        Zp = _lane_pad(Z)
+        if Bp != B or Zp != Z:
+            chan = jnp.pad(chan, ((0, Bp - B), (0, 0), (0, Zp - Z)))
         # [B, L, Z] -> [L, B, Z] so each in-kernel column slice is a native
         # (TB sublane x Z lane) tile (see layout note in module docstring)
         chan = chan.astype(jnp.float32).transpose(1, 0, 2)
     hard, ok, iters = pl.pallas_call(
         kernel,
         grid=(nt,),
-        in_specs=[pl.BlockSpec((L, tile_b, Z), lambda i: (0, i, 0),
+        in_specs=[pl.BlockSpec((L, tile_b, Zp), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((L, tile_b, Z), lambda i: (0, i, 0),
+            pl.BlockSpec((L, tile_b, Zp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -282,17 +324,18 @@ def _run_kernel(kernel, chan, code, tile_b, dtype, interpret,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((L, Bp, Z), jnp.int8),
+            jax.ShapeDtypeStruct((L, Bp, Zp), jnp.int8),
             jax.ShapeDtypeStruct((Bp, 128), jnp.int32),
             jax.ShapeDtypeStruct((Bp, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((L, tile_b, Z), dtype),               # VN totals
-            pltpu.VMEM((code.num_edges, tile_b, Z), dtype),  # c2v messages
+            pltpu.VMEM((L, tile_b, Zp), dtype),               # VN totals
+            pltpu.VMEM((code.num_edges, tile_b, Zp), dtype),  # c2v messages
         ],
         interpret=interpret,
     )(chan)
-    hard = hard[:, :B] if col_major else hard.transpose(1, 0, 2)[:B]
+    hard = (hard[:, :B, :Z] if col_major
+            else hard.transpose(1, 0, 2)[:B, :, :Z])
     return DecodeResult(hard, ok[:B, 0].astype(bool),
                         jnp.max(iters[:, 0]).astype(jnp.int32))
 
@@ -307,7 +350,8 @@ def decode_layered(chan: jax.Array, code: QCBinaryCode, num_iters: int,
     ``col_major=True`` takes chan as [L, B, Z] (the kernel's native layout)
     and returns hard the same way, skipping two large HBM transposes."""
     if not supports(code):
-        raise ValueError(f"pallas kernel needs Z % 128 == 0, got Z={code.Z}")
+        raise ValueError(
+            f"pallas kernel needs Z % 128 == 0 or Z >= 64, got Z={code.Z}")
     dtype = _kernel_dtype(msg_dtype, chan.dtype)
     kernel = functools.partial(_layered_kernel, code=code, num_iters=num_iters,
                                alpha=alpha, beta=beta, check=check,
@@ -328,7 +372,8 @@ def decode_flooding(chan: jax.Array, code: QCBinaryCode, num_iters: int,
     ``col_major=True`` takes chan as [L, B, Z] (the kernel's native layout)
     and returns hard the same way, skipping two large HBM transposes."""
     if not supports(code):
-        raise ValueError(f"pallas kernel needs Z % 128 == 0, got Z={code.Z}")
+        raise ValueError(
+            f"pallas kernel needs Z % 128 == 0 or Z >= 64, got Z={code.Z}")
     dtype = _kernel_dtype(msg_dtype, chan.dtype)
     kernel = functools.partial(_kernel, code=code, num_iters=num_iters,
                                alpha=alpha, beta=beta, check=check,

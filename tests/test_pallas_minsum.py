@@ -75,11 +75,41 @@ def test_ragged_batch_padding(code):
 
 
 def test_unsupported_z_raises():
-    small = QCBinaryCode.from_registry("J4_L24_Z96")
-    assert not pallas_minsum.supports(small)
+    tiny = QCBinaryCode(name="tiny", base=np.array([[0, 1, 2, -1],
+                                                    [3, -1, 0, 1]]), Z=4)
+    assert not pallas_minsum.supports(tiny)
     with pytest.raises(ValueError, match="Z % 128"):
-        pallas_minsum.decode_flooding(jnp.zeros((2, small.L, small.Z)),
-                                      small, 2, interpret=True)
+        pallas_minsum.decode_flooding(jnp.zeros((2, tiny.L, tiny.Z)),
+                                      tiny, 2, interpret=True)
+
+
+@pytest.mark.parametrize("name", ["J4_L24_Z96", "J10_L60_Z160",
+                                  "J32_L64_Z64"])
+def test_padded_lanes_match_jnp(name):
+    """Z not a multiple of 128 runs with padded lanes (two-roll + lane-select
+    circulant); results must equal the jnp path bit-exactly.  Covers all three
+    non-128-multiple shipped lifting factors (96, 160, 64)."""
+    c = QCBinaryCode.from_registry(name)
+    assert pallas_minsum.supports(c)
+    chan = _chan(c, 0.62, 9, seed=13)   # 9: also exercises batch padding
+    a = minsum.decode_flooding(chan, c, 3, check="zero")
+    b = pallas_minsum.decode_flooding(chan, c, 3, check="zero",
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
+    np.testing.assert_array_equal(np.asarray(a.ok), np.asarray(b.ok))
+    assert int(a.iters) == int(b.iters)
+
+
+def test_padded_lanes_layered_and_syndrome():
+    """Layered schedule + true syndrome check on a padded-lane code (the
+    syndrome reduction must mask the garbage lanes)."""
+    c = QCBinaryCode.from_registry("J4_L24_Z96")
+    chan = _chan(c, 0.62, 9, seed=17)
+    a = minsum.decode_layered(chan, c, 3, check="syndrome")
+    b = pallas_minsum.decode_layered(chan, c, 3, check="syndrome",
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
+    np.testing.assert_array_equal(np.asarray(a.ok), np.asarray(b.ok))
 
 
 def test_zero_iters_matches_jnp(code):
