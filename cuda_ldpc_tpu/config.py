@@ -72,8 +72,9 @@ class NBDecoderConfig:
     """Non-binary decoder (myNBLDPC).
 
     method: decoder_method 0/1/2/3 -> ems/tmm/ems_full/layered_tmm
-    (define.h:37, Simulation.cpp:56-69), plus 'qspa' — the exact
-    FFT/Hadamard-domain sum-product (no reference counterpart).
+    (define.h:37, Simulation.cpp:56-69), plus 'qspa' / 'layered_qspa' — the
+    exact FFT/Hadamard-domain sum-product, flooding or row-layered schedule
+    (no reference counterpart).
     nm/nc: EMS_NM/EMS_NC (define.h:31-32).  max_iters: maxIT (define.h:35)."""
     method: str = "ems"
     nm: int = 2

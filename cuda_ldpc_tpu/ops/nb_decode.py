@@ -620,14 +620,62 @@ def decode_layered_tmm(L_ch: jax.Array, code: NBCode, max_iters: int,
     return _run(g, B, max_iters, early_stop, (Lmin, c2v0), step, decide)
 
 
+def decode_layered_qspa(L_ch: jax.Array, code: NBCode, max_iters: int,
+                        early_stop: bool = True) -> NBDecodeResult:
+    """Row-layered FFT-QSPA: serial sweep over CN rows with each row's exact
+    sum-product update written back to the LLR totals immediately — the
+    layered schedule the reference ships only for TMM
+    (Decoding_layered_TMM, myNBLDPC/src/LDPC_Decoder.cpp:544-702) applied to
+    the optimal CN rule (no reference counterpart).  Converges in roughly
+    half the flooding-QSPA iterations.  L_ch: [B, N, q] symbol LLRs
+    (log P(s)/P(0), L[...,0]=0)."""
+    g = build_graph(code)
+    B = L_ch.shape[0]
+    L0 = L_ch.astype(jnp.float32)
+    cn_links_j = jnp.asarray(g.cn_links)
+    mask_j = jnp.asarray(g.cn_mask)
+    h_onehot_j = jnp.asarray(g.h_onehot, dtype=jnp.float32)
+    had = jnp.asarray(_hadamard(g.q))
+
+    def decide(carry):
+        llr, _ = carry
+        return jnp.argmax(llr, axis=-1).astype(jnp.int32), llr
+
+    def step(carry, llr_unused, cont):
+        llr0, c2v0 = carry
+
+        def row_body(m, lc):
+            llr, c2v = lc
+            links = jax.lax.dynamic_index_in_dim(cn_links_j, m, keepdims=False)
+            rmask = jax.lax.dynamic_index_in_dim(mask_j, m)          # [1, dc]
+            roh = jax.lax.dynamic_index_in_dim(h_onehot_j, m)
+            v2c = llr[:, links] - c2v[:, m]                          # [B, dc, q]
+            new = _qspa_cn_core(v2c[:, None], rmask, roh, had,
+                                g.dc, g.q)[:, 0]                     # [B, dc, q]
+            # write back total = v2c + new, i.e. add (new - old c2v); pad
+            # edges (links pointing at VN 0) contribute 0 so duplicate
+            # indices stay well-defined
+            delta = jnp.where(rmask[0][None, :, None], new - c2v[:, m], 0.0)
+            llr = llr.at[:, links].add(delta)
+            c2v = jax.lax.dynamic_update_index_in_dim(c2v, new, m, axis=1)
+            return llr, c2v
+
+        llr1, c2v1 = jax.lax.fori_loop(0, g.M, row_body, (llr0, c2v0))
+        return (_freeze(cont, llr1, llr0), _freeze(cont, c2v1, c2v0))
+
+    c2v0 = jnp.zeros((B, g.M, g.dc, g.q), dtype=jnp.float32)
+    return _run(g, B, max_iters, early_stop, (L0, c2v0), step, decide)
+
+
 def make_decoder(code: NBCode, method: str = "ems", max_iters: int = 20,
                  nm: int = 2, nc: int = 2, early_stop: bool = True):
     """Build a jitted ``decode(L_ch) -> NBDecodeResult`` for a code.
 
     ``method``: 'ems' | 'ems_full' | 'tmm' | 'layered_tmm' — the reference's
     decoder_method 0 | 2 | 1 | 3 (myNBLDPC/include/define.h:37,
-    Simulation.cpp:56-69) — or 'qspa', the exact FFT/Hadamard-domain
-    sum-product (no reference counterpart; see _qspa_cn_core)."""
+    Simulation.cpp:56-69) — or 'qspa' / 'layered_qspa', the exact
+    FFT/Hadamard-domain sum-product in flooding / row-layered schedule
+    (no reference counterpart; see _qspa_cn_core)."""
     if method == "ems":
         fn = functools.partial(decode_ems, code=code, max_iters=max_iters,
                                nm=nm, nc=nc, early_stop=early_stop)
@@ -637,6 +685,9 @@ def make_decoder(code: NBCode, method: str = "ems", max_iters: int = 20,
     elif method == "qspa":
         fn = functools.partial(decode_qspa, code=code, max_iters=max_iters,
                                early_stop=early_stop)
+    elif method == "layered_qspa":
+        fn = functools.partial(decode_layered_qspa, code=code,
+                               max_iters=max_iters, early_stop=early_stop)
     elif method == "tmm":
         fn = functools.partial(decode_tmm, code=code, max_iters=max_iters,
                                early_stop=early_stop)

@@ -786,6 +786,8 @@ def _nb_decoder_fn(code: NBCode, dec: cfg.NBDecoderConfig):
         "ems_full": lambda L: nb_decode.decode_ems(L, code, dec.max_iters,
                                                    full=True),
         "qspa": lambda L: nb_decode.decode_qspa(L, code, dec.max_iters),
+        "layered_qspa": lambda L: nb_decode.decode_layered_qspa(
+            L, code, dec.max_iters),
         "tmm": lambda L: nb_decode.decode_tmm(L, code, dec.max_iters),
         "layered_tmm": lambda L: nb_decode.decode_layered_tmm(
             L, code, dec.max_iters),

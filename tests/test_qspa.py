@@ -87,6 +87,55 @@ def test_qspa_noiseless_decodes_zero():
     assert int(np.asarray(res.iters).max()) <= 3
 
 
+def test_layered_qspa_noiseless_decodes_zero():
+    code = NBCode.from_registry("BDS.576.288.GF.64")
+    L = demod.nb_channel_llr(jax.random.PRNGKey(4),
+                             np.zeros(code.bit_length, int),
+                             constellation(2), 0.3, batch=8, q=code.q)
+    res = nb_decode.decode_layered_qspa(L, code, max_iters=20)
+    assert bool(np.asarray(res.ok).all())
+    assert not np.asarray(res.hard).any()
+    assert int(np.asarray(res.iters).max()) <= 3
+
+
+def test_layered_qspa_converges_faster_or_equal():
+    """Layered schedule propagates fresh messages within an iteration, so it
+    must need no more iterations than flooding on the same realizations."""
+    code = NBCode.from_registry("BDS.576.288.GF.64")
+    sigma = channel.sigma_from_snr(2.5, code.rate, "ebn0", 1.0)
+    L = demod.nb_channel_llr(jax.random.PRNGKey(6),
+                             np.zeros(code.bit_length, int),
+                             constellation(2), sigma, batch=64, q=code.q)
+    rf = nb_decode.decode_qspa(L, code, max_iters=20)
+    rl = nb_decode.decode_layered_qspa(L, code, max_iters=20)
+    ok_f, ok_l = np.asarray(rf.ok), np.asarray(rl.ok)
+    assert ok_l.sum() >= ok_f.sum() - 1   # never meaningfully worse
+    both = ok_f & ok_l
+    assert (np.asarray(rl.iters)[both].mean()
+            <= np.asarray(rf.iters)[both].mean())
+
+
+def test_layered_qspa_first_sweep_row0_matches_flooding():
+    """Before any write-back, row 0's first c2v update is identical to
+    flooding's (the schedules only diverge after the first row write)."""
+    code = NBCode.from_registry("LDPC_N96_K48_GF256_d1_exp")
+    g = nb_decode.build_graph(code)
+    rng = np.random.default_rng(2)
+    L = rng.normal(size=(2, code.n_sym, code.q)).astype(np.float32)
+    L[..., 0] = 0.0
+    v2c = jnp.asarray(L)[:, g.cn_links]          # c2v = 0 at sweep start
+    full = nb_decode._qspa_cn_core(
+        v2c, jnp.asarray(g.cn_mask),
+        jnp.asarray(g.h_onehot, dtype=jnp.float32),
+        jnp.asarray(nb_decode._hadamard(g.q)), g.dc, g.q)
+    row0 = nb_decode._qspa_cn_core(
+        v2c[:, :1], jnp.asarray(g.cn_mask[:1]),
+        jnp.asarray(g.h_onehot[:1], dtype=jnp.float32),
+        jnp.asarray(nb_decode._hadamard(g.q)), g.dc, g.q)
+    np.testing.assert_allclose(np.asarray(full[:, 0]), np.asarray(row0[:, 0]),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_qspa_fer_not_worse_than_ems_full():
     code = NBCode.from_registry("BDS.576.288.GF.64")
