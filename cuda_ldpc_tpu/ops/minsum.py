@@ -137,17 +137,31 @@ def _check(code, hard, check: str):
     raise ValueError(f"unknown check mode {check!r}")
 
 
+def _fake_int8(x: jax.Array, scale: float) -> jax.Array:
+    """Simulate int8 message storage: round to the int8 grid (step 1/scale),
+    clip to +-127/scale.  Used for the quantization FER study (BENCH.md) —
+    Mosaic cannot compile sub-32-bit compares, so real int8 storage awaits
+    compiler support; this measures what it WOULD cost in FER."""
+    s = jnp.asarray(scale, x.dtype)
+    return jnp.clip(jnp.round(x * s), -127.0, 127.0) / s
+
+
 def decode_flooding(chan: jax.Array, code: QCBinaryCode, num_iters: int,
                     alpha: float = 1.0, beta: float = 0.0,
                     check: str = "syndrome", early_stop: bool = True,
-                    msg_dtype=None, rule: str = "minsum") -> DecodeResult:
+                    msg_dtype=None, rule: str = "minsum",
+                    int8_scale: float | None = None) -> DecodeResult:
     """Flooding BP decode. chan: [B, L, Z] channel LLRs.  ``rule='minsum'``
     (default, scale-invariant: raw AWGN output works directly, matching the
     reference which feeds raw channel samples, LDPC_Decoder.cu:203) or
-    ``rule='bp'`` (exact sum-product; chan must be true LLRs 2y/sigma^2)."""
+    ``rule='bp'`` (exact sum-product; chan must be true LLRs 2y/sigma^2).
+    ``int8_scale``: quantize c2v messages to the int8 grid with that scale
+    (FER study; see _fake_int8)."""
     B = chan.shape[0]
     dtype = msg_dtype or chan.dtype
     chan = chan.astype(dtype)
+    if int8_scale:                    # quantize the channel input too
+        chan = _fake_int8(chan, int8_scale)
     E = code.num_edges
     cn_fn = _CN_RULES[rule]
 
@@ -156,6 +170,8 @@ def decode_flooding(chan: jax.Array, code: QCBinaryCode, num_iters: int,
         newR = [None] * E
         for j in range(code.J):
             Rr = cn_fn(_row_stack(code, Q, j), alpha, beta)
+            if int8_scale:
+                Rr = _fake_int8(Rr, int8_scale)
             for i, e in enumerate(code.row_edges[j]):
                 newR[e] = jnp.roll(Rr[:, i], int(code.edges[e, 2]), axis=-1)
         return jnp.stack(newR, axis=1), hard

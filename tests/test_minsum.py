@@ -140,6 +140,21 @@ def test_layered_rules_decode_allzero(rule):
     assert not bool(jnp.any(res.hard))
 
 
+def test_int8_quantized_messages_decode():
+    """Fake-int8 message quantization (the BENCH.md FER study knob): at a
+    comfortable SNR the quantized decoder still corrects everything."""
+    code = small_shipped_code()
+    sigma = channel.sigma_from_snr(5.5, code.rate, "ebn0")
+    llr = channel.bpsk_awgn_llr(jax.random.PRNGKey(21),
+                                jnp.zeros((code.L, code.Z)), sigma, 16)
+    res = minsum.decode_flooding(llr, code, 30, int8_scale=16.0)
+    assert bool(jnp.all(res.ok))
+    assert not bool(jnp.any(res.hard))
+    # grid actually applies: all message values land on multiples of 1/16
+    q = minsum._fake_int8(llr, 16.0)
+    np.testing.assert_array_equal(np.asarray(q * 16), np.round(np.asarray(q * 16)))
+
+
 def test_layered_converges_faster_or_equal():
     code = small_shipped_code()
     sigma = channel.sigma_from_snr(4.0, code.rate, "ebn0")
