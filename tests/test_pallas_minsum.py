@@ -175,6 +175,17 @@ c = minsum.decode_layered(chan, code, 4, check="syndrome")
 d = pallas_minsum.decode_layered(chan, code, 4, check="syndrome")
 np.testing.assert_array_equal(np.asarray(c.hard), np.asarray(d.hard))
 np.testing.assert_array_equal(np.asarray(c.ok), np.asarray(d.ok))
+pad = QCBinaryCode.from_registry("J4_L24_Z96")   # padded-lane (Z=96 -> 128)
+chan = channel.bpsk_awgn_llr(jax.random.PRNGKey(23),
+                             jnp.zeros((pad.L, pad.Z)), 0.62, 16)
+e = minsum.decode_flooding(chan, pad, 4, check="zero", early_stop=False)
+f = pallas_minsum.decode_flooding(chan, pad, 4, check="zero",
+                                  early_stop=False)
+np.testing.assert_array_equal(np.asarray(e.hard), np.asarray(f.hard))
+g = minsum.decode_layered(chan, pad, 4, check="syndrome")
+h = pallas_minsum.decode_layered(chan, pad, 4, check="syndrome")
+np.testing.assert_array_equal(np.asarray(g.hard), np.asarray(h.hard))
+np.testing.assert_array_equal(np.asarray(g.ok), np.asarray(h.ok))
 print("TPU_PARITY_OK")
 """
     env = {k: v for k, v in os.environ.items()
