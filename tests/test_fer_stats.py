@@ -93,3 +93,18 @@ def test_tanner_gf16_code_decodes():
                              batch=2, q=code.q)
     res = nb_decode.make_decoder(code, method="tmm", max_iters=3)(L)
     assert np.asarray(res.hard).shape == (2, 9472)
+
+
+def test_clopper_pearson_textbook_values():
+    """Exact CP interval vs published values: k=5, n=100, 95% ->
+    (0.0164, 0.1128); k=0, n=100 -> (0, 0.0362)."""
+    from cuda_ldpc_tpu.utils.stats import clopper_pearson, rates_compatible
+    lo, hi = clopper_pearson(5, 100, 0.95)
+    assert abs(lo - 0.0164) < 5e-4 and abs(hi - 0.1128) < 5e-4
+    lo0, hi0 = clopper_pearson(0, 100, 0.95)
+    assert lo0 == 0.0 and abs(hi0 - 0.0362) < 5e-4
+    # the round-2 measured parity pairs really are compatible
+    assert rates_compatible(371, 32768, 360, 32768)      # tx zero vs random
+    assert rates_compatible(16, 40960, 17, 45056)        # ref vs jax channel
+    # and a clearly incompatible pair is rejected
+    assert not rates_compatible(51, 38912, 304, 4096)    # layered vs flooding qspa @2dB
