@@ -128,8 +128,11 @@ def _frame_ok(T_ref, code: QCBinaryCode, check: str, tile_b: int):
 
 
 def _cn_phase(T_ref, R_ref, code: QCBinaryCode, alpha: float, beta: float,
-              tile_b: int, layered: bool):
-    """Two-min + sign-product CN update for every block row.  Flooding reads
+              tile_b: int, layered: bool, rule: str = "minsum"):
+    """CN update for every block row: two-min + sign-product (rule='minsum',
+    mirrors minsum._cn_minsum) or exact sum-product in the stable phi domain
+    (rule='bp', mirrors minsum._cn_bp — the reference's declared-but-never-
+    implemented decoder_method=1, bldpc_实习/define.cuh:33-34).  Flooding reads
     v2c = T - R and only rewrites R; layered additionally applies the message
     delta to the running totals row by row (mirrors minsum.decode_layered)."""
     L, Z = code.L, code.Z
@@ -138,30 +141,50 @@ def _cn_phase(T_ref, R_ref, code: QCBinaryCode, alpha: float, beta: float,
     dtype = jnp.float32
     store = R_ref.dtype
     big = jnp.asarray(3.4e38, dtype)
+    half = jnp.asarray(0.5, dtype)
     for j in range(code.J):
         idx = code.row_edges[j]
         negs = []
-        m1 = jnp.full((tile_b, lanes), big, dtype)
-        m2 = jnp.full((tile_b, lanes), big, dtype)
-        am = jnp.zeros((tile_b, lanes), jnp.int32)
-        for slot, e in enumerate(idx):
-            l, s = int(edges[e, 1]), int(edges[e, 2])
-            q = T_ref[l].astype(dtype) - R_ref[e].astype(dtype)
-            q = _roll(q, -s, Z)
-            neg = q < 0
-            mag = jnp.abs(q)
-            newmin = mag < m1
-            m2 = jnp.where(newmin, m1, jnp.minimum(m2, mag))
-            am = jnp.where(newmin, slot, am)
-            m1 = jnp.minimum(m1, mag)
-            negs.append(neg)
+        if rule == "bp":
+            # phi(x) = -log(tanh(x/2)) per edge; clip exactly like minsum._cn_bp
+            # so interpret-mode parity with the jnp path is bit-exact
+            phs = []
+            ph_sum = jnp.zeros((tile_b, lanes), dtype)
+            for slot, e in enumerate(idx):
+                l, s = int(edges[e, 1]), int(edges[e, 2])
+                q = T_ref[l].astype(dtype) - R_ref[e].astype(dtype)
+                q = _roll(q, -s, Z)
+                negs.append(q < 0)
+                mag = jnp.clip(jnp.abs(q), 1.4e-7, 34.0)
+                ph = -jnp.log(jnp.tanh(mag * half))
+                phs.append(ph)
+                ph_sum = ph_sum + ph
+        else:
+            m1 = jnp.full((tile_b, lanes), big, dtype)
+            m2 = jnp.full((tile_b, lanes), big, dtype)
+            am = jnp.zeros((tile_b, lanes), jnp.int32)
+            for slot, e in enumerate(idx):
+                l, s = int(edges[e, 1]), int(edges[e, 2])
+                q = T_ref[l].astype(dtype) - R_ref[e].astype(dtype)
+                q = _roll(q, -s, Z)
+                neg = q < 0
+                mag = jnp.abs(q)
+                newmin = mag < m1
+                m2 = jnp.where(newmin, m1, jnp.minimum(m2, mag))
+                am = jnp.where(newmin, slot, am)
+                m1 = jnp.minimum(m1, mag)
+                negs.append(neg)
         # sign product as XOR of sign masks (cheaper than +-1 multiplies)
         tot = negs[0]
         for neg in negs[1:]:
             tot = jnp.logical_xor(tot, neg)
         for slot, e in enumerate(idx):
             l, s = int(edges[e, 1]), int(edges[e, 2])
-            out = jnp.where(am == slot, m2, m1)
+            if rule == "bp":
+                rest = jnp.clip(ph_sum - phs[slot], 1.4e-7, None)
+                out = -jnp.log(jnp.tanh(rest * half))
+            else:
+                out = jnp.where(am == slot, m2, m1)
             if beta:
                 out = jnp.maximum(out - jnp.asarray(beta, dtype), 0)
             if alpha != 1.0:
@@ -193,7 +216,7 @@ def _epilogue(T_ref, hard_ref, ok_ref, iters_ref, code: QCBinaryCode,
 
 def _kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
             code: QCBinaryCode, num_iters: int, alpha: float, beta: float,
-            check: str, early_stop: bool, tile_b: int):
+            check: str, early_stop: bool, tile_b: int, rule: str = "minsum"):
     L = code.L
     store = R_ref.dtype         # scratch storage dtype (f32 or bf16)
     dtype = jnp.float32         # compute dtype (Mosaic: sub-32-bit compare/rotate unsupported)
@@ -216,7 +239,8 @@ def _kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
             it, _ = state
             vn_totals()
             all_ok = jnp.all(_frame_ok(T_ref, code, check, tile_b))
-            _cn_phase(T_ref, R_ref, code, alpha, beta, tile_b, layered=False)
+            _cn_phase(T_ref, R_ref, code, alpha, beta, tile_b, layered=False,
+                      rule=rule)
             return it + 1, all_ok
 
         def cond(state):
@@ -228,7 +252,8 @@ def _kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
     else:
         def body(it, carry):
             vn_totals()
-            _cn_phase(T_ref, R_ref, code, alpha, beta, tile_b, layered=False)
+            _cn_phase(T_ref, R_ref, code, alpha, beta, tile_b, layered=False,
+                      rule=rule)
             return carry
         jax.lax.fori_loop(0, num_iters, body, jnp.int32(0))
         final_it = jnp.int32(num_iters)
@@ -239,7 +264,8 @@ def _kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
 
 def _layered_kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
                     code: QCBinaryCode, num_iters: int, alpha: float,
-                    beta: float, check: str, early_stop: bool, tile_b: int):
+                    beta: float, check: str, early_stop: bool, tile_b: int,
+                    rule: str = "minsum"):
     """Row-layered schedule: each block-row's CN update is applied to the
     running totals immediately (mirrors ops/minsum.decode_layered).  No
     separate VN phase — totals live in T_ref across iterations — and layered
@@ -258,7 +284,8 @@ def _layered_kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
     if early_stop and check != "none":
         def body(state):
             it, _ = state
-            _cn_phase(T_ref, R_ref, code, alpha, beta, tile_b, layered=True)
+            _cn_phase(T_ref, R_ref, code, alpha, beta, tile_b, layered=True,
+                      rule=rule)
             all_ok = jnp.all(_frame_ok(T_ref, code, check, tile_b))
             return it + 1, all_ok
 
@@ -270,7 +297,8 @@ def _layered_kernel(chan_ref, hard_ref, ok_ref, iters_ref, T_ref, R_ref, *,
                                          (jnp.int32(0), jnp.asarray(False)))
     else:
         def body(it, carry):
-            _cn_phase(T_ref, R_ref, code, alpha, beta, tile_b, layered=True)
+            _cn_phase(T_ref, R_ref, code, alpha, beta, tile_b, layered=True,
+                      rule=rule)
             return carry
         jax.lax.fori_loop(0, num_iters, body, jnp.int32(0))
         final_it = jnp.int32(num_iters)
@@ -345,8 +373,10 @@ def decode_layered(chan: jax.Array, code: QCBinaryCode, num_iters: int,
                    check: str = "zero", early_stop: bool = True,
                    msg_dtype=None, tile_b: int = 8,
                    interpret: bool = False,
-                   col_major: bool = False) -> DecodeResult:
-    """Fused row-layered min-sum (drop-in for minsum.decode_layered).
+                   col_major: bool = False, rule: str = "minsum") -> DecodeResult:
+    """Fused row-layered decode (drop-in for minsum.decode_layered).
+    ``rule``: 'minsum' (default) or 'bp' (exact sum-product; chan must be
+    true LLRs 2y/sigma^2 — see minsum._cn_bp).
     ``col_major=True`` takes chan as [L, B, Z] (the kernel's native layout)
     and returns hard the same way, skipping two large HBM transposes."""
     if not supports(code):
@@ -355,7 +385,7 @@ def decode_layered(chan: jax.Array, code: QCBinaryCode, num_iters: int,
     dtype = _kernel_dtype(msg_dtype, chan.dtype)
     kernel = functools.partial(_layered_kernel, code=code, num_iters=num_iters,
                                alpha=alpha, beta=beta, check=check,
-                               early_stop=early_stop, tile_b=tile_b)
+                               early_stop=early_stop, tile_b=tile_b, rule=rule)
     return _run_kernel(kernel, chan, code, tile_b, dtype, interpret,
                        col_major=col_major)
 
@@ -365,10 +395,12 @@ def decode_flooding(chan: jax.Array, code: QCBinaryCode, num_iters: int,
                     check: str = "zero", early_stop: bool = True,
                     msg_dtype=None, tile_b: int = 8,
                     interpret: bool = False,
-                    col_major: bool = False) -> DecodeResult:
+                    col_major: bool = False, rule: str = "minsum") -> DecodeResult:
     """Drop-in fused replacement for minsum.decode_flooding (binary flooding
-    min-sum, same numerics).  Returns per-frame ok and the batch-global
-    iteration count (max over tiles, like the reference's single host loop).
+    decode, same numerics).  ``rule``: 'minsum' (default) or 'bp' (exact
+    sum-product; chan must be true LLRs 2y/sigma^2 — see minsum._cn_bp).
+    Returns per-frame ok and the batch-global iteration count (max over
+    tiles, like the reference's single host loop).
     ``col_major=True`` takes chan as [L, B, Z] (the kernel's native layout)
     and returns hard the same way, skipping two large HBM transposes."""
     if not supports(code):
@@ -377,6 +409,6 @@ def decode_flooding(chan: jax.Array, code: QCBinaryCode, num_iters: int,
     dtype = _kernel_dtype(msg_dtype, chan.dtype)
     kernel = functools.partial(_kernel, code=code, num_iters=num_iters,
                                alpha=alpha, beta=beta, check=check,
-                               early_stop=early_stop, tile_b=tile_b)
+                               early_stop=early_stop, tile_b=tile_b, rule=rule)
     return _run_kernel(kernel, chan, code, tile_b, dtype, interpret,
                        col_major=col_major)

@@ -42,6 +42,27 @@ def test_layered_matches_jnp(code, check):
     assert int(a.iters) == int(b.iters)
 
 
+@pytest.mark.parametrize("name", ["J4_L24_Z256", "J4_L24_Z96"])
+def test_bp_rule_matches_jnp(name):
+    """rule='bp' (exact sum-product, phi domain) in the fused kernel vs the
+    jnp path — flooding and layered, full-lane and padded-lane codes.  BP
+    needs true LLRs 2y/sigma^2 (minsum._cn_bp docstring)."""
+    c = QCBinaryCode.from_registry(name)
+    sigma = 0.62
+    chan = _chan(c, sigma, 12, seed=21) * (2.0 / sigma ** 2)
+    a = minsum.decode_flooding(chan, c, 5, check="zero", rule="bp")
+    b = pallas_minsum.decode_flooding(chan, c, 5, check="zero", rule="bp",
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.hard), np.asarray(b.hard))
+    np.testing.assert_array_equal(np.asarray(a.ok), np.asarray(b.ok))
+    assert int(a.iters) == int(b.iters)
+    d = minsum.decode_layered(chan, c, 4, check="syndrome", rule="bp")
+    e = pallas_minsum.decode_layered(chan, c, 4, check="syndrome", rule="bp",
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(d.hard), np.asarray(e.hard))
+    np.testing.assert_array_equal(np.asarray(d.ok), np.asarray(e.ok))
+
+
 def test_alpha_beta(code):
     chan = _chan(code, 0.6, 8, seed=3)
     a = minsum.decode_flooding(chan, code, 4, alpha=0.8, beta=0.1,
