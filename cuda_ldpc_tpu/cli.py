@@ -121,6 +121,13 @@ def build_parser() -> argparse.ArgumentParser:
     n.add_argument("--tx", choices=["zero", "fixture"], default=nd.tx)
     n.add_argument("--packed", action="store_true",
                    help="run all SNR points concurrently in packed batches")
+    n.add_argument("--engine", choices=["batch", "stream"], default=nd.engine,
+                   help="stream: continuous batching — finished frames leave "
+                        "their slot immediately and a fresh frame takes it, "
+                        "so throughput tracks the MEAN iteration count "
+                        "instead of the batch max")
+    n.add_argument("--stream-steps", type=int, default=nd.stream_steps,
+                   help="decoder iterations per streaming call")
     _add_sweep_args(n, nd.sweep)
 
     sub.add_parser("list-codes", help="list registered code assets")
@@ -169,7 +176,11 @@ def main(argv=None) -> int:
             decoder=cfg.NBDecoderConfig(method=args.method, nm=args.nm,
                                         nc=args.nc, max_iters=args.max_iters),
             sweep=_sweep_from(args, cfg.NBSimConfig().sweep),
-            n_qam=args.n_qam, batch_per_device=args.batch, tx=args.tx)
+            n_qam=args.n_qam, batch_per_device=args.batch, tx=args.tx,
+            engine=args.engine, stream_steps=args.stream_steps)
+        if args.packed and args.engine == "stream":
+            raise SystemExit("--packed and --engine stream are exclusive "
+                             "(streaming already keeps every lane busy)")
         if args.packed:
             res = simmod.run_nb_sweep_packed(simcfg, out_dir=args.out_dir,
                                              checkpoint=args.checkpoint,

@@ -109,3 +109,10 @@ class NBSimConfig:
     n_qam: int = 2                    # n_QAM (define.h:25): 2 | 64 | 256
     batch_per_device: int = 256
     tx: str = "zero"                  # 'zero' | 'fixture' (codeword_test.h)
+    # engine: 'batch' decodes whole batches to the slowest frame's iteration
+    # count (like the reference); 'stream' is the continuous-batching engine —
+    # finished frames leave their batch slot immediately and a fresh frame
+    # takes it, so every lane always does useful work (no reference
+    # counterpart; see sim.make_nb_stream_fn).
+    engine: str = "batch"             # 'batch' | 'stream'
+    stream_steps: int = 16            # decoder iterations per streaming call

@@ -448,6 +448,133 @@ def _freeze(active, new, old):
     return jnp.where(a, new, old)
 
 
+class DecoderCore(NamedTuple):
+    """A decoder decomposed into jittable per-iteration pieces so the batch
+    driver (_run) and the streaming continuous-batching driver (sim.py) can
+    share one implementation.  The carry is a pytree holding ALL per-frame
+    decoder state (including the channel LLRs), so a streaming driver can
+    splice fresh frames into finished batch slots with one tree-select."""
+    g: _Graph
+    init: object      # L_ch [B, N, q] -> carry
+    decide: object    # carry -> (hard [B, N] int32, llr)
+    step: object      # (carry, llr, cont [B] bool) -> carry
+
+
+def build_core(code: NBCode, method: str, nm: int = 2,
+               nc: int = 2) -> DecoderCore:
+    """Decoder core for ``method`` ('ems' | 'ems_full' | 'qspa' |
+    'layered_qspa' | 'tmm' | 'layered_tmm') — see make_decoder for the
+    mapping to the reference's decoder_method values."""
+    g = build_graph(code)
+    mask = jnp.asarray(g.cn_mask)
+    h_perm = jnp.asarray(g.h_perm)
+    h_onehot = jnp.asarray(g.h_onehot, dtype=jnp.float32)
+    xor_table = jnp.asarray(g.xor_table)
+    cn_links_j = jnp.asarray(g.cn_links)
+
+    if method in ("ems", "ems_full", "qspa"):
+        had = jnp.asarray(_hadamard(g.q)) if method == "qspa" else None
+
+        def init(L_ch):
+            L = L_ch.astype(jnp.float32)
+            c2v0 = jnp.zeros(L.shape[:1] + (g.M, g.dc, g.q), jnp.float32)
+            return (L, c2v0)
+
+        def decide(carry):
+            L, c2v = carry
+            llr = L + jnp.sum(_gather_c2v_vn(g, c2v), axis=2)
+            # argmax with 0 fallback == plain argmax, since L[0] = 0 exactly
+            # (DecideLLRVector, LDPC_Decoder.cpp:71-91)
+            return jnp.argmax(llr, axis=-1).astype(jnp.int32), llr
+
+        def step(carry, llr, cont):
+            L, c2v = carry
+            v2c = llr[:, g.cn_links] - c2v
+            if method == "qspa":
+                new = _qspa_cn_core(v2c, mask, h_onehot, had, g.dc, g.q)
+            elif method == "ems_full":
+                new = _ems_full_cn_core(v2c, mask, h_onehot, xor_table,
+                                        g.dc, g.q)
+            else:
+                new = _ems_cn_core(v2c, mask, h_onehot, nm, nc, g.dc, g.q)
+            return (L, _freeze(cont, new, c2v))
+
+        return DecoderCore(g, init, decide, step)
+
+    if method == "tmm":
+        def init(L_ch):
+            Lmin = to_min_domain(L_ch.astype(jnp.float32))
+            c2v0 = jnp.zeros(Lmin.shape[:1] + (g.M, g.dc, g.q), jnp.float32)
+            return (Lmin, c2v0)
+
+        def decide(carry):
+            llr_state, c2v = carry
+            llr = llr_state + jnp.sum(_gather_c2v_vn(g, c2v), axis=2)
+            return jnp.argmin(llr, axis=-1).astype(jnp.int32), llr
+
+        def step(carry, llr, cont):
+            llr_state, c2v = carry
+            v2c = llr[:, g.cn_links] - c2v
+            new = _tmm_cn_core(v2c, mask, h_perm, h_onehot, xor_table,
+                               g.dc, g.q)
+            return (_freeze(cont, llr, llr_state), _freeze(cont, new, c2v))
+
+        return DecoderCore(g, init, decide, step)
+
+    if method in ("layered_tmm", "layered_qspa"):
+        tmm = method == "layered_tmm"
+        mask_j = mask
+        h_onehot_j = h_onehot
+        had = None if tmm else jnp.asarray(_hadamard(g.q))
+
+        def init(L_ch):
+            L = L_ch.astype(jnp.float32)
+            llr0 = to_min_domain(L) if tmm else L
+            c2v0 = jnp.zeros(L.shape[:1] + (g.M, g.dc, g.q), jnp.float32)
+            return (llr0, c2v0)
+
+        def decide(carry):
+            llr, _ = carry
+            pick = jnp.argmin if tmm else jnp.argmax
+            return pick(llr, axis=-1).astype(jnp.int32), llr
+
+        def step(carry, llr_unused, cont):
+            llr0, c2v0 = carry
+
+            def row_body(m, lc):
+                llr, c2v = lc
+                links = jax.lax.dynamic_index_in_dim(cn_links_j, m,
+                                                     keepdims=False)
+                rmask = jax.lax.dynamic_index_in_dim(mask_j, m)      # [1, dc]
+                roh = jax.lax.dynamic_index_in_dim(h_onehot_j, m)
+                llr_row = llr[:, links]                              # [B, dc, q]
+                v2c = llr_row - c2v[:, m]
+                if tmm:
+                    rh = jax.lax.dynamic_index_in_dim(h_perm, m)     # [1, dc, q]
+                    new = _tmm_cn_core(v2c[:, None], rmask, rh, roh,
+                                       xor_table, g.dc, g.q)[:, 0]
+                    # scatter-add a masked delta: pad edges (links pointing
+                    # at VN 0) contribute 0, so duplicates stay well-defined
+                    delta = jnp.where(rmask[0][None, :, None],
+                                      v2c + new - llr_row, 0.0)
+                else:
+                    new = _qspa_cn_core(v2c[:, None], rmask, roh, had,
+                                        g.dc, g.q)[:, 0]
+                    # write back total = v2c + new, i.e. add (new - old c2v)
+                    delta = jnp.where(rmask[0][None, :, None],
+                                      new - c2v[:, m], 0.0)
+                llr = llr.at[:, links].add(delta)
+                c2v = jax.lax.dynamic_update_index_in_dim(c2v, new, m, axis=1)
+                return llr, c2v
+
+            llr1, c2v1 = jax.lax.fori_loop(0, g.M, row_body, (llr0, c2v0))
+            return (_freeze(cont, llr1, llr0), _freeze(cont, c2v1, c2v0))
+
+        return DecoderCore(g, init, decide, step)
+
+    raise ValueError(f"unknown NB decoder method {method!r}")
+
+
 def _run(g: _Graph, B: int, max_iters: int, early_stop: bool, carry0,
          step_fn, decide_fn):
     """While-loop driver with the reference's iteration accounting: each pass
@@ -485,31 +612,9 @@ def decode_ems(L_ch: jax.Array, code: NBCode, max_iters: int, nm: int = 2,
                early_stop: bool = True) -> NBDecodeResult:
     """Flooding EMS decode.  L_ch: [B, N, q] symbol LLRs (log P(s)/P(0),
     L[...,0]=0).  ``full=True`` is the reference's decoder_method=2."""
-    g = build_graph(code)
-    B = L_ch.shape[0]
-    L_ch = L_ch.astype(jnp.float32)
-    mask = jnp.asarray(g.cn_mask)
-    h_perm = jnp.asarray(g.h_perm)
-    h_onehot = jnp.asarray(g.h_onehot, dtype=jnp.float32)
-    xor_table = jnp.asarray(g.xor_table)
-
-    def decide(c2v_cn):
-        llr = L_ch + jnp.sum(_gather_c2v_vn(g, c2v_cn), axis=2)
-        # argmax with 0 fallback == plain argmax, since L[0] = 0 exactly
-        # (DecideLLRVector, LDPC_Decoder.cpp:71-91)
-        return jnp.argmax(llr, axis=-1).astype(jnp.int32), llr
-
-    def step(c2v_cn, llr, cont):
-        v2c = llr[:, g.cn_links] - c2v_cn                # [B, M, dc, q]
-        if full:
-            new = _ems_full_cn_core(v2c, mask, h_onehot, xor_table,
-                                    g.dc, g.q)
-        else:
-            new = _ems_cn_core(v2c, mask, h_onehot, nm, nc, g.dc, g.q)
-        return _freeze(cont, new, c2v_cn)
-
-    c2v0 = jnp.zeros((B, g.M, g.dc, g.q), dtype=jnp.float32)
-    return _run(g, B, max_iters, early_stop, c2v0, step, decide)
+    core = build_core(code, "ems_full" if full else "ems", nm=nm, nc=nc)
+    return _run(core.g, L_ch.shape[0], max_iters, early_stop,
+                core.init(L_ch), core.step, core.decide)
 
 
 def decode_qspa(L_ch: jax.Array, code: NBCode, max_iters: int,
@@ -518,24 +623,9 @@ def decode_qspa(L_ch: jax.Array, code: NBCode, max_iters: int,
     convolution).  L_ch: [B, N, q] symbol LLRs (log P(s)/P(0), L[...,0]=0).
     Same flooding schedule / syndrome early-exit / iteration accounting as
     EMS; only the CN core differs (see _qspa_cn_core)."""
-    g = build_graph(code)
-    B = L_ch.shape[0]
-    L_ch = L_ch.astype(jnp.float32)
-    mask = jnp.asarray(g.cn_mask)
-    h_onehot = jnp.asarray(g.h_onehot, dtype=jnp.float32)
-    had = jnp.asarray(_hadamard(g.q))
-
-    def decide(c2v_cn):
-        llr = L_ch + jnp.sum(_gather_c2v_vn(g, c2v_cn), axis=2)
-        return jnp.argmax(llr, axis=-1).astype(jnp.int32), llr
-
-    def step(c2v_cn, llr, cont):
-        v2c = llr[:, g.cn_links] - c2v_cn
-        new = _qspa_cn_core(v2c, mask, h_onehot, had, g.dc, g.q)
-        return _freeze(cont, new, c2v_cn)
-
-    c2v0 = jnp.zeros((B, g.M, g.dc, g.q), dtype=jnp.float32)
-    return _run(g, B, max_iters, early_stop, c2v0, step, decide)
+    core = build_core(code, "qspa")
+    return _run(core.g, L_ch.shape[0], max_iters, early_stop,
+                core.init(L_ch), core.step, core.decide)
 
 
 def to_min_domain(L_ch: jax.Array) -> jax.Array:
@@ -551,27 +641,9 @@ def decode_tmm(L_ch: jax.Array, code: NBCode, max_iters: int,
     """Flooding TMM decode.  L_ch: [B, N, q] positive-domain symbol LLRs
     (converted internally).  Preserves the reference's accumulating LLR total
     (no reset to L_ch between iterations, LDPC_Decoder.cpp:425-435)."""
-    g = build_graph(code)
-    B = L_ch.shape[0]
-    Lmin = to_min_domain(L_ch.astype(jnp.float32))
-    mask = jnp.asarray(g.cn_mask)
-    h_perm = jnp.asarray(g.h_perm)
-    h_onehot = jnp.asarray(g.h_onehot, dtype=jnp.float32)
-    xor_table = jnp.asarray(g.xor_table)
-
-    def decide(carry):
-        llr_state, c2v_cn = carry
-        llr = llr_state + jnp.sum(_gather_c2v_vn(g, c2v_cn), axis=2)
-        return jnp.argmin(llr, axis=-1).astype(jnp.int32), llr
-
-    def step(carry, llr, cont):
-        llr_state, c2v_cn = carry
-        v2c = llr[:, g.cn_links] - c2v_cn
-        new = _tmm_cn_core(v2c, mask, h_perm, h_onehot, xor_table, g.dc, g.q)
-        return (_freeze(cont, llr, llr_state), _freeze(cont, new, c2v_cn))
-
-    c2v0 = jnp.zeros((B, g.M, g.dc, g.q), dtype=jnp.float32)
-    return _run(g, B, max_iters, early_stop, (Lmin, c2v0), step, decide)
+    core = build_core(code, "tmm")
+    return _run(core.g, L_ch.shape[0], max_iters, early_stop,
+                core.init(L_ch), core.step, core.decide)
 
 
 def decode_layered_tmm(L_ch: jax.Array, code: NBCode, max_iters: int,
@@ -580,44 +652,9 @@ def decode_layered_tmm(L_ch: jax.Array, code: NBCode, max_iters: int,
     back to the LLR total immediately (Decoding_layered_TMM,
     LDPC_Decoder.cpp:544-702).  The decision+syndrome run at the top of each
     sweep from the current totals, before any row of that sweep (:603-605)."""
-    g = build_graph(code)
-    B = L_ch.shape[0]
-    Lmin = to_min_domain(L_ch.astype(jnp.float32))
-    cn_links_j = jnp.asarray(g.cn_links)
-    mask_j = jnp.asarray(g.cn_mask)
-    h_perm_j = jnp.asarray(g.h_perm)
-    h_onehot_j = jnp.asarray(g.h_onehot, dtype=jnp.float32)
-    xor_table = jnp.asarray(g.xor_table)
-
-    def decide(carry):
-        llr, _ = carry
-        return jnp.argmin(llr, axis=-1).astype(jnp.int32), llr
-
-    def step(carry, llr_unused, cont):
-        llr0, c2v0 = carry
-
-        def row_body(m, lc):
-            llr, c2v = lc
-            links = jax.lax.dynamic_index_in_dim(cn_links_j, m, keepdims=False)
-            rmask = jax.lax.dynamic_index_in_dim(mask_j, m)          # [1, dc]
-            rh = jax.lax.dynamic_index_in_dim(h_perm_j, m)           # [1, dc, q]
-            roh = jax.lax.dynamic_index_in_dim(h_onehot_j, m)
-            llr_row = llr[:, links]                                  # [B, dc, q]
-            v2c = llr_row - c2v[:, m]
-            new = _tmm_cn_core(v2c[:, None], rmask, rh, roh, xor_table,
-                               g.dc, g.q)[:, 0]                      # [B, dc, q]
-            # scatter-add a masked delta: pad edges (links pointing at VN 0)
-            # contribute 0, so duplicate indices stay well-defined
-            delta = jnp.where(rmask[0][None, :, None], v2c + new - llr_row, 0.0)
-            llr = llr.at[:, links].add(delta)
-            c2v = jax.lax.dynamic_update_index_in_dim(c2v, new, m, axis=1)
-            return llr, c2v
-
-        llr1, c2v1 = jax.lax.fori_loop(0, g.M, row_body, (llr0, c2v0))
-        return (_freeze(cont, llr1, llr0), _freeze(cont, c2v1, c2v0))
-
-    c2v0 = jnp.zeros((B, g.M, g.dc, g.q), dtype=jnp.float32)
-    return _run(g, B, max_iters, early_stop, (Lmin, c2v0), step, decide)
+    core = build_core(code, "layered_tmm")
+    return _run(core.g, L_ch.shape[0], max_iters, early_stop,
+                core.init(L_ch), core.step, core.decide)
 
 
 def decode_layered_qspa(L_ch: jax.Array, code: NBCode, max_iters: int,
@@ -629,42 +666,9 @@ def decode_layered_qspa(L_ch: jax.Array, code: NBCode, max_iters: int,
     the optimal CN rule (no reference counterpart).  Converges in roughly
     half the flooding-QSPA iterations.  L_ch: [B, N, q] symbol LLRs
     (log P(s)/P(0), L[...,0]=0)."""
-    g = build_graph(code)
-    B = L_ch.shape[0]
-    L0 = L_ch.astype(jnp.float32)
-    cn_links_j = jnp.asarray(g.cn_links)
-    mask_j = jnp.asarray(g.cn_mask)
-    h_onehot_j = jnp.asarray(g.h_onehot, dtype=jnp.float32)
-    had = jnp.asarray(_hadamard(g.q))
-
-    def decide(carry):
-        llr, _ = carry
-        return jnp.argmax(llr, axis=-1).astype(jnp.int32), llr
-
-    def step(carry, llr_unused, cont):
-        llr0, c2v0 = carry
-
-        def row_body(m, lc):
-            llr, c2v = lc
-            links = jax.lax.dynamic_index_in_dim(cn_links_j, m, keepdims=False)
-            rmask = jax.lax.dynamic_index_in_dim(mask_j, m)          # [1, dc]
-            roh = jax.lax.dynamic_index_in_dim(h_onehot_j, m)
-            v2c = llr[:, links] - c2v[:, m]                          # [B, dc, q]
-            new = _qspa_cn_core(v2c[:, None], rmask, roh, had,
-                                g.dc, g.q)[:, 0]                     # [B, dc, q]
-            # write back total = v2c + new, i.e. add (new - old c2v); pad
-            # edges (links pointing at VN 0) contribute 0 so duplicate
-            # indices stay well-defined
-            delta = jnp.where(rmask[0][None, :, None], new - c2v[:, m], 0.0)
-            llr = llr.at[:, links].add(delta)
-            c2v = jax.lax.dynamic_update_index_in_dim(c2v, new, m, axis=1)
-            return llr, c2v
-
-        llr1, c2v1 = jax.lax.fori_loop(0, g.M, row_body, (llr0, c2v0))
-        return (_freeze(cont, llr1, llr0), _freeze(cont, c2v1, c2v0))
-
-    c2v0 = jnp.zeros((B, g.M, g.dc, g.q), dtype=jnp.float32)
-    return _run(g, B, max_iters, early_stop, (L0, c2v0), step, decide)
+    core = build_core(code, "layered_qspa")
+    return _run(core.g, L_ch.shape[0], max_iters, early_stop,
+                core.init(L_ch), core.step, core.decide)
 
 
 def make_decoder(code: NBCode, method: str = "ems", max_iters: int = 20,

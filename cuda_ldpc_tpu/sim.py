@@ -66,6 +66,16 @@ class SnrStats:
     # comparable across runs/resumes (frames/FER counters still include it).
     timed_frames: int = 0
 
+    @classmethod
+    def from_checkpoint(cls, d: dict) -> "SnrStats":
+        st = cls(**d)
+        # Checkpoints written before timed_frames existed cover ALL collected
+        # frames with decode_s; default timed_frames=0 would otherwise make
+        # decode_s/timed_frames overstate sec/frame after a resume.
+        if st.decode_s > 0 and st.timed_frames == 0:
+            st.timed_frames = st.frames
+        return st
+
     @property
     def fer(self) -> float:
         return self.error_frames / max(self.frames, 1)
@@ -213,7 +223,7 @@ def _run_sweep(kind: str, sweep: cfg.SweepConfig, units_per_frame: int,
         batch_idx = 0
         cur = ck.current(snr)
         if cur:
-            stats = SnrStats(**cur["stats"])
+            stats = SnrStats.from_checkpoint(cur["stats"])
             batch_idx = cur["batch_idx"]
         collected = batch_idx
         first_collect = collected   # absorbs (re)compile+warmup; untimed
@@ -270,26 +280,26 @@ def _run_sweep(kind: str, sweep: cfg.SweepConfig, units_per_frame: int,
 
 def _pick_binary_decode(code: QCBinaryCode, dec_cfg: cfg.BinaryDecoderConfig):
     """Kernel dispatch: fused Pallas on TPU when the code's Z suits it.
-    rule='bp' (exact sum-product) has no fused kernel; it runs the jnp path
-    (XLA fuses the tanh chain well enough for a non-headline decoder)."""
+    Both rules (minsum + bp sum-product) have fused kernels; the returned
+    callable is tagged with ``is_pallas`` for the driver's col-major check."""
     from cuda_ldpc_tpu.ops import pallas_minsum
     layered = dec_cfg.schedule == "layered"
     want = dec_cfg.kernel
-    if dec_cfg.rule != "minsum":
-        if want == "pallas":
-            raise ValueError(f"rule={dec_cfg.rule!r} has no pallas kernel; "
-                             "use --kernel jnp/auto")
-        base = minsum.decode_layered if layered else minsum.decode_flooding
-        return functools.partial(base, rule=dec_cfg.rule)
     on_tpu = jax.default_backend() == "tpu"
     if want == "pallas" or (want == "auto" and on_tpu
                             and pallas_minsum.supports(code)):
         if not pallas_minsum.supports(code):
             raise ValueError(
                 f"pallas kernel unsupported for {code.name} (Z={code.Z})")
-        return (pallas_minsum.decode_layered if layered
+        base = (pallas_minsum.decode_layered if layered
                 else pallas_minsum.decode_flooding)
-    return minsum.decode_layered if layered else minsum.decode_flooding
+        fn = functools.partial(base, rule=dec_cfg.rule)
+        fn.is_pallas = True
+        return fn
+    base = minsum.decode_layered if layered else minsum.decode_flooding
+    fn = functools.partial(base, rule=dec_cfg.rule)
+    fn.is_pallas = False
+    return fn
 
 
 def make_binary_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
@@ -300,7 +310,6 @@ def make_binary_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
     mesh = mesh or get_mesh()
     n_dev = mesh.devices.size
     B = sim.batch_per_device * n_dev
-    from cuda_ldpc_tpu.ops import pallas_minsum
     decode = _pick_binary_decode(code, dec_cfg)
     msg_cols = code.L - code.J if dec_cfg.message_only else code.L
     dtype = jnp.dtype(dec_cfg.msg_dtype)
@@ -314,8 +323,7 @@ def make_binary_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
                              "all-zero codeword)")
     # zero-tx pallas decodes run in the kernel's native [L, B, Z] layout,
     # skipping two full-batch HBM transposes per call
-    col = enc is None and decode in (pallas_minsum.decode_flooding,
-                                     pallas_minsum.decode_layered)
+    col = enc is None and decode.is_pallas
     shard = batch_sharding(mesh, 3, axis_pos=1 if col else 0)
     # min-sum is scale-invariant so raw channel samples work (the reference
     # feeds y directly, LDPC_Decoder.cu:203); exact sum-product needs true
@@ -548,10 +556,8 @@ def make_binary_packed_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
     dec_cfg = sim.decoder
     mesh = mesh or get_mesh()
     B = sim.batch_per_device * mesh.devices.size
-    from cuda_ldpc_tpu.ops import pallas_minsum
     decode = _pick_binary_decode(code, dec_cfg)
-    col = decode in (pallas_minsum.decode_flooding,
-                     pallas_minsum.decode_layered)
+    col = decode.is_pallas
     shard = batch_sharding(mesh, 3, axis_pos=1 if col else 0)
     msg_cols = code.L - code.J if dec_cfg.message_only else code.L
     dtype = jnp.dtype(dec_cfg.msg_dtype)
@@ -614,7 +620,7 @@ def _run_packed(kind: str, sweep: cfg.SweepConfig, points: list[float],
     inflight0 = None
     if ck and ck.state.get("packed"):
         saved = ck.state["packed"]
-        stats = [SnrStats(**d) for d in saved["stats"]]
+        stats = [SnrStats.from_checkpoint(d) for d in saved["stats"]]
         bi0 = saved["batch_idx"]
         # the batch that was launched but uncollected at save time: relaunch
         # it with its ORIGINAL point layout so a resumed sweep reproduces the
@@ -838,10 +844,194 @@ def make_nb_step(code: NBCode, sim: cfg.NBSimConfig, mesh=None):
     return jax.jit(step), B
 
 
+def make_nb_stream_fn(code: NBCode, sim: cfg.NBSimConfig, mesh=None):
+    """Continuous-batching ("streaming") NB decode engine.
+
+    The batch engine decodes each batch until its SLOWEST frame converges —
+    at production SNRs a handful of error frames drive the whole batch to
+    maxIT while the other ~99% of lanes idle (early termination is
+    batch-granular; measured in BENCH.md).  Here every decoder iteration
+    ends with a per-slot syndrome check: finished slots are counted and
+    immediately re-seeded with a fresh frame (new channel draw), so every
+    lane does useful work every iteration and throughput tracks the MEAN
+    iteration count instead of the batch max.  Statistically identical to
+    the batch engine (same channel, decoder, and per-frame iteration
+    accounting); no reference counterpart (the reference decodes one frame
+    per thread, myNBLDPC/src/Simulation.cpp:16-161).
+
+    Returns (init_fn, run_fn, drain_fn, B):
+      init_fn(key, sigma)            -> state
+      run_fn(state, key, sigma)      -> (state, counters[6])   # stream_steps iters
+      drain_fn(state, key, sigma)    -> (state, counters[6])   # finish in-flight
+    counters = [frames, err_frames, err_units, false, alarm, iter_sum].
+    The drain pass finishes every in-flight frame WITHOUT refilling — the
+    driver must call it at each point's end, otherwise the discarded
+    in-flight frames would be biased toward slow/hard frames and FER would
+    read low."""
+    dec = sim.decoder
+    mesh = mesh or get_mesh()
+    B = sim.batch_per_device * mesh.devices.size
+    shard = batch_sharding(mesh, 3)
+    pts = constellation(sim.n_qam)
+    tx_labels, tx_syms = _nb_tx(code, sim)
+    tx_dev = jnp.asarray(tx_syms, dtype=jnp.int32)
+    core = nb_decode.build_core(code, dec.method, nm=dec.nm, nc=dec.nc)
+    g = core.g
+    max_it = dec.max_iters
+    n_steps = sim.stream_steps
+
+    def fresh(key, sigma):
+        L = demod.nb_channel_llr(key, tx_labels, pts, sigma, batch=B,
+                                 q=code.q)
+        L = jax.lax.with_sharding_constraint(L, shard)
+        return core.init(L)
+
+    def init_fn(key, sigma):
+        carry = fresh(key, sigma)
+        return (carry, jnp.zeros((B,), jnp.int32), jnp.ones((B,), bool))
+
+    def _inner(refill: bool):
+        def inner(i, val):
+            (carry, t, alive), counters, key, sigma = val
+            hard, llr = core.decide(carry)
+            ok = nb_decode._syndrome_ok(g, hard)
+            done = alive & (ok | (t >= max_it))
+            errsyms = jnp.sum((hard != tx_dev[None]).astype(jnp.int32),
+                              axis=1)
+            has_err = errsyms > 0
+            di = done.astype(jnp.int32)
+            counters = counters + jnp.stack([
+                jnp.sum(di),
+                jnp.sum(di * has_err.astype(jnp.int32)),
+                jnp.sum(di * errsyms),
+                jnp.sum(di * (has_err & ok).astype(jnp.int32)),
+                jnp.sum(di * (~has_err & ~ok).astype(jnp.int32)),
+                jnp.sum(di * t)])
+            cont = alive & ~done
+            carry = core.step(carry, llr, cont)
+            if refill:
+                new = fresh(jax.random.fold_in(key, i), sigma)
+                carry = jax.tree_util.tree_map(
+                    lambda n, o: nb_decode._freeze(done, n, o), new, carry)
+                t = jnp.where(done, 0, t + 1)
+            else:
+                alive = cont
+                t = jnp.where(cont, t + 1, t)
+            return (carry, t, alive), counters, key, sigma
+        return inner
+
+    def run_fn(state, key, sigma):
+        val = (state, jnp.zeros((6,), jnp.int32), key, sigma)
+        state, counters, _, _ = jax.lax.fori_loop(0, n_steps, _inner(True),
+                                                  val)
+        return state, counters
+
+    def drain_fn(state, key, sigma):
+        # every alive frame reaches ok or t == max_it within max_it + 1
+        # decide passes (dead slots can't re-trigger: alive &= ~done)
+        val = (state, jnp.zeros((6,), jnp.int32), key, sigma)
+        state, counters, _, _ = jax.lax.fori_loop(0, max_it + 1,
+                                                  _inner(False), val)
+        return state, counters
+
+    return (jax.jit(init_fn), jax.jit(run_fn, donate_argnums=0),
+            jax.jit(drain_fn, donate_argnums=0), B)
+
+
+def _run_nb_stream(code: NBCode, sim: cfg.NBSimConfig, mesh, out_dir,
+                   checkpoint, quiet) -> SweepResult:
+    """Streaming-engine sweep driver: per SNR point, keep one streaming call
+    in flight (same pipelining as _run_sweep), apply the stop rule on
+    collected counters, then drain in-flight frames so the tally is
+    unbiased.  Checkpointing is point-granular (decoder state lives on
+    device); an interrupted point restarts."""
+    init_fn, run_fn, drain_fn, B = make_nb_stream_fn(code, sim, mesh)
+    sweep = sim.sweep
+    d = sim.decoder
+    _write_logo("nb", [
+        f" code: {code!r}",
+        f" decoder: {d.method}, Nm={d.nm}, Nc={d.nc}, maxIT={d.max_iters}"
+        f"  [STREAMING engine, {sim.stream_steps} iters/call]",
+        f" modulation: {'BPSK' if sim.n_qam == 2 else f'{sim.n_qam}-QAM'}, "
+        f"tx: {sim.tx}, slots: {B} ({sim.batch_per_device}/device)",
+        f" sweep: {sweep.snr_type} {sweep.snr_start}:{sweep.snr_step}:"
+        f"{sweep.snr_stop}, stop at >={sweep.least_error_frames} errors & "
+        f">={sweep.least_test_frames} frames, seed={sweep.seed}",
+    ], out_dir, quiet)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    ck = _Checkpoint(checkpoint, _config_key(sim, {"kind": "nb_stream",
+                                                   "B": B}))
+    base = jax.random.fold_in(jax.random.PRNGKey(sweep.seed),
+                              jax.process_index())
+    bits_per_sym = float(np.log2(sim.n_qam))
+    info_bits_per_frame = code.k_sym * code.q_bit
+    rows: list[dict] = []
+    for si, snr in enumerate(sweep.snr_points()):
+        done_row = ck.done_rows().get(f"{snr:g}")
+        if done_row is not None:
+            rows.append(done_row)
+            continue
+        sigma = channel.sigma_from_snr(snr, code.rate, sweep.snr_type,
+                                       bits_per_sym)
+        pk = jax.random.fold_in(base, si)
+        stats = SnrStats(snr=snr, units_per_frame=code.n_sym)
+        state = init_fn(jax.random.fold_in(pk, 0), sigma)
+        next_display = sweep.display_step
+        t_last = time.perf_counter()
+        first = True
+
+        def consume(out, timed=True):
+            nonlocal t_last, next_display
+            nf, ef, eu, ff, af, its = (int(x) for x in np.asarray(out))
+            now = time.perf_counter()
+            stats.frames += nf
+            stats.error_frames += ef
+            stats.error_units += eu
+            stats.false_frames += ff
+            stats.alarm_frames += af
+            stats.iter_sum += its
+            if timed:
+                stats.decode_s += now - t_last
+                stats.info_bits += nf * info_bits_per_frame
+                stats.timed_frames += nf
+            t_last = now
+            if stats.frames >= next_display:
+                _emit(stats.row("nb"), stats.to_dict("nb"), out_dir, quiet)
+                next_display = (stats.frames // sweep.display_step + 1) \
+                    * sweep.display_step
+
+        pending = None
+        ci = 1
+        while True:
+            state, out = run_fn(state, jax.random.fold_in(pk, ci), sigma)
+            ci += 1
+            if pending is not None:
+                consume(pending, timed=not first)
+                first = False
+            pending = out
+            if ((stats.error_frames >= sweep.least_error_frames
+                 and stats.frames >= sweep.least_test_frames)
+                    or stats.frames >= sweep.max_frames):
+                break
+        consume(pending, timed=not first)
+        state, out = drain_fn(state, jax.random.fold_in(pk, ci), sigma)
+        consume(out)
+        _emit(stats.row("nb"), stats.to_dict("nb"), out_dir, quiet)
+        ck.finish_point(stats, "nb")
+        rows.append(stats.to_dict("nb"))
+    return SweepResult(rows=rows)
+
+
 def run_nb_sweep(sim: cfg.NBSimConfig, mesh=None, out_dir: str | None = None,
                  checkpoint: str | None = None,
                  quiet: bool = False) -> SweepResult:
     code = NBCode.from_registry(sim.code)
+    if sim.engine == "stream":
+        return _run_nb_stream(code, sim, mesh, out_dir, checkpoint, quiet)
+    if sim.engine != "batch":
+        raise ValueError(f"unknown engine {sim.engine!r} "
+                         "(expected 'batch' or 'stream')")
     fn, B = make_nb_step(code, sim, mesh)
     sweep = sim.sweep
     d = sim.decoder

@@ -122,6 +122,60 @@ def test_nb_packed_sweep_runs():
     assert all(r["frames"] >= 16 for r in res.rows)
 
 
+def test_nb_stream_engine_statistical_parity():
+    """Streaming (continuous-batching) engine vs the batch engine: identical
+    channel/decoder/iteration accounting, so the FER estimates must be
+    binomial-compatible (exact Clopper-Pearson CI overlap)."""
+    from cuda_ldpc_tpu.utils import stats as st
+    base = dict(
+        code="LDPC_N96_K48_GF256_d1_exp",
+        decoder=cfg.NBDecoderConfig(method="qspa", max_iters=8),
+        sweep=cfg.SweepConfig(snr_start=2.0, snr_step=1.0, snr_stop=2.0,
+                              least_error_frames=25, least_test_frames=400,
+                              max_frames=4000, display_step=10**6),
+        batch_per_device=16)
+    rb = sim.run_nb_sweep(cfg.NBSimConfig(**base), quiet=True).rows[0]
+    rs = sim.run_nb_sweep(cfg.NBSimConfig(**base, engine="stream",
+                                          stream_steps=8), quiet=True).rows[0]
+    assert rs["frames"] >= 400 and rs["error_frames"] >= 25
+    assert st.rates_compatible(rb["error_frames"], rb["frames"],
+                               rs["error_frames"], rs["frames"])
+    # mean iterations must agree too (same decoder, same accounting)
+    assert abs(rb["avg_iters"] - rs["avg_iters"]) < 1.5
+
+
+def test_nb_stream_noiseless_exact_accounting():
+    """With sigma ~ 0 every frame converges at iteration 0, so the streaming
+    engine's accounting is exactly predictable: each run call counts
+    B * stream_steps frames with zero errors and zero iterations, and the
+    drain pass counts exactly the B in-flight frames."""
+    import jax
+    from cuda_ldpc_tpu import NBCode
+    simcfg = cfg.NBSimConfig(
+        code="LDPC_N96_K48_GF256_d1_exp",
+        decoder=cfg.NBDecoderConfig(method="ems", max_iters=6),
+        batch_per_device=1, stream_steps=5, engine="stream")
+    code = NBCode.from_registry(simcfg.code)
+    mesh = get_mesh()
+    B = mesh.devices.size  # 1 per device
+    init_fn, run_fn, drain_fn, Bq = sim.make_nb_stream_fn(code, simcfg, mesh)
+    assert Bq == B
+    key = jax.random.PRNGKey(0)
+    sigma = 1e-4
+    state = init_fn(key, sigma)
+    state, c1 = run_fn(state, jax.random.fold_in(key, 1), sigma)
+    state, c2 = run_fn(state, jax.random.fold_in(key, 2), sigma)
+    for c in (c1, c2):
+        frames, errf, erru, false, alarm, iters = (int(x)
+                                                   for x in np.asarray(c))
+        assert frames == B * simcfg.stream_steps
+        assert errf == erru == false == alarm == iters == 0
+    _, cd = drain_fn(state, jax.random.fold_in(key, 3), sigma)
+    frames, errf, erru, false, alarm, iters = (int(x) for x in np.asarray(cd))
+    assert frames == B            # exactly the in-flight frames, once
+    assert errf == iters == 0
+
+
 def test_nb_fixture_codeword_loads():
     from cuda_ldpc_tpu.utils import registry
     cw = registry.load_test_codeword(96)
