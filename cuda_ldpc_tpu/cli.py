@@ -110,8 +110,9 @@ def build_parser() -> argparse.ArgumentParser:
     n.add_argument("--code", default=nd.code, choices=registry.NB_CODES,
                    metavar="CODE")
     n.add_argument("--method", default=nd.decoder.method,
-                   choices=["ems", "ems_full", "qspa", "layered_qspa", "tmm",
-                            "layered_tmm"])
+                   choices=["ems", "ems_full", "qspa", "layered_qspa",
+                            "glayered_qspa", "tmm", "layered_tmm",
+                            "glayered_tmm"])
     n.add_argument("--nm", type=int, default=nd.decoder.nm)
     n.add_argument("--nc", type=int, default=nd.decoder.nc)
     n.add_argument("--max-iters", type=int, default=nd.decoder.max_iters)

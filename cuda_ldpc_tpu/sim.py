@@ -786,18 +786,11 @@ def run_nb_sweep_packed(sim: cfg.NBSimConfig, mesh=None,
 # --------------------------------------------------------------------------
 
 def _nb_decoder_fn(code: NBCode, dec: cfg.NBDecoderConfig):
-    return {
-        "ems": lambda L: nb_decode.decode_ems(L, code, dec.max_iters,
-                                              nm=dec.nm, nc=dec.nc),
-        "ems_full": lambda L: nb_decode.decode_ems(L, code, dec.max_iters,
-                                                   full=True),
-        "qspa": lambda L: nb_decode.decode_qspa(L, code, dec.max_iters),
-        "layered_qspa": lambda L: nb_decode.decode_layered_qspa(
-            L, code, dec.max_iters),
-        "tmm": lambda L: nb_decode.decode_tmm(L, code, dec.max_iters),
-        "layered_tmm": lambda L: nb_decode.decode_layered_tmm(
-            L, code, dec.max_iters),
-    }[dec.method]
+    if dec.method not in nb_decode.METHODS:
+        raise ValueError(f"unknown NB decoder method {dec.method!r} "
+                         f"(expected one of {nb_decode.METHODS})")
+    return lambda L: nb_decode.decode(L, code, dec.method, dec.max_iters,
+                                      nm=dec.nm, nc=dec.nc)
 
 
 def _nb_tx(code: NBCode, sim: cfg.NBSimConfig):

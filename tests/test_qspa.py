@@ -98,6 +98,56 @@ def test_layered_qspa_noiseless_decodes_zero():
     assert int(np.asarray(res.iters).max()) <= 3
 
 
+def test_row_groups_partition_and_conflict_free():
+    """Greedy coloring: groups partition the rows; no two rows in a group
+    share a VN; the QC-lifted Tanner code recovers its 9 block rows."""
+    for name, expect_groups in [("BDS.576.288.GF.64", None),
+                                ("Tanner_74_9_Z128_GF16", 9)]:
+        code = NBCode.from_registry(name)
+        g = nb_decode.build_graph(code)
+        groups = nb_decode.row_groups(g.cn_links, g.cn_mask)
+        assert sorted(int(m) for rows in groups for m in rows) == list(range(g.M))
+        for rows in groups:
+            vns = [int(v) for m in rows
+                   for v, ok in zip(g.cn_links[m], g.cn_mask[m]) if ok]
+            assert len(vns) == len(set(vns))
+        if expect_groups is not None:
+            assert len(groups) == expect_groups
+            assert all(len(rows) == g.M // expect_groups for rows in groups)
+
+
+@pytest.mark.parametrize("method", ["glayered_qspa", "glayered_tmm"])
+def test_glayered_noiseless_decodes_zero(method):
+    code = NBCode.from_registry("BDS.576.288.GF.64")
+    L = demod.nb_channel_llr(jax.random.PRNGKey(4),
+                             np.zeros(code.bit_length, int),
+                             constellation(2), 0.3, batch=8, q=code.q)
+    res = nb_decode.decode(L, code, method, max_iters=20)
+    assert bool(np.asarray(res.ok).all())
+    assert not np.asarray(res.hard).any()
+    assert int(np.asarray(res.iters).max()) <= 4
+
+
+def test_glayered_qspa_tracks_layered_qspa():
+    """Grouped-layered must converge like serial layered (same information
+    flow granularity up to group boundaries): comparable mean iterations and
+    binomially-compatible FER on the same channel draws."""
+    from cuda_ldpc_tpu.utils import stats as st
+    code = NBCode.from_registry("BDS.576.288.GF.64")
+    sigma = channel.sigma_from_snr(1.0, code.rate, "ebn0", 1.0)
+    L = demod.nb_channel_llr(jax.random.PRNGKey(11),
+                             np.zeros(code.bit_length, int),
+                             constellation(2), sigma, batch=512, q=code.q)
+    a = nb_decode.decode(L, code, "layered_qspa", max_iters=10)
+    b = nb_decode.decode(L, code, "glayered_qspa", max_iters=10)
+    fa = int((np.asarray(a.hard) != 0).any(axis=1).sum())
+    fb = int((np.asarray(b.hard) != 0).any(axis=1).sum())
+    assert st.rates_compatible(fa, 512, fb, 512)
+    ita = float(np.asarray(a.iters).mean())
+    itb = float(np.asarray(b.iters).mean())
+    assert abs(ita - itb) < 1.0
+
+
 def test_layered_qspa_converges_faster_or_equal():
     """Layered schedule propagates fresh messages within an iteration, so it
     must need no more iterations than flooding on the same realizations."""
