@@ -232,7 +232,11 @@ def _ems_cn_core(v2c_cn, mask, h_onehot, nm: int, nc: int, dc: int,
       conf(q,1)  -> per-edge delta message W[d][y], max1/max2 across edges
                     (exclude-own-edge via the argmax column trick),
       conf(Nm,2) -> static unroll over edge pairs at their top-(Nm-1)
-                    non-best slots.
+                    non-best slots,
+      conf(Nm,Nc>2) -> budgeted forward/backward (max,+) convolution DP
+                    over the XOR group (general Nc; Nc >= dc-1 drops the
+                    budget axis — the reference's maxdc-1 sentinel,
+                    Simulation.cpp:296-299).
     Output: c2v[k] = (D[h*k ^ g0] - D[g0]) / 1.2 with g0 the baseline GF value
     excluding the output edge."""
     maskq = mask[None, :, :, None]
@@ -276,40 +280,70 @@ def _ems_cn_core(v2c_cn, mask, h_onehot, nm: int, nc: int, dc: int,
                                             val[..., None],
                                             NEG)[:, :, None, :]  # [B, M', 1, q]
                             D = jnp.where(sel, jnp.maximum(D, upd), D)
-        elif nc == dc - 1:
-            # conf(Nm, dc-1): any subset of edges may deviate within its
-            # top-(Nm-1) slots — the reference's EMS_Nc == maxdc-1 sentinel
-            # (Simulation.cpp:296-299).  Exact via an exclusive forward/
-            # backward (max,+) convolution chain over per-edge clipped delta
-            # messages (0 at offset 0, top-(Nm-1) deltas elsewhere).
+        else:
+            # conf(Nm, Nc), general Nc: up to Nc edges deviate, each within
+            # its top-(Nm-1) non-best slots — the reference's recursive
+            # ConstructConf with an arbitrary EMS_NC (LDPC_Decoder.cpp:
+            # 319-359; EMS_Nc == maxdc-1 is the 'all edges may deviate'
+            # sentinel, Simulation.cpp:296-299).  Fixed-shape re-derivation:
+            # per-edge clipped delta message dev[y] (top-(Nm-1) deltas at
+            # their XOR offsets, NEG elsewhere), combined by exclusive
+            # forward/backward (max,+) convolution chains over the XOR group.
             dev = jnp.full(W.shape, NEG)
             for k in range(nm - 1):
                 dev = jnp.maximum(dev, jnp.where(
                     O[..., k, None] == yy, P[..., k, None], NEG))
             ident = jnp.where(jnp.arange(q) == 0, 0.0, NEG)
-            msg = jnp.maximum(dev, ident)                # deviate or don't
-            msg = jnp.where(maskq, msg, ident)
             xt = jnp.asarray(_XOR_CACHE.setdefault(
                 q, (np.arange(q)[:, None] ^ np.arange(q)[None, :])
                 .astype(np.int32)))
-            fwd = [jnp.broadcast_to(ident, msg[:, :, 0].shape)]
-            for d in range(dc - 1):
-                fwd.append(_maxconv(fwd[-1], msg[:, :, d], xt))
-            bwd = [jnp.broadcast_to(ident, msg[:, :, 0].shape)]
-            for d in range(dc - 1, 0, -1):
-                bwd.append(_maxconv(bwd[-1], msg[:, :, d], xt))
-            bwd = bwd[::-1]
-            D2 = jnp.stack([_maxconv(fwd[d], bwd[d], xt)
-                            for d in range(dc)], axis=2)
+            ident_b = jnp.broadcast_to(ident, dev[:, :, 0].shape)
+            if nc >= dc - 1:
+                # unbudgeted: every edge freely deviates or not
+                msg = jnp.maximum(dev, ident)
+                msg = jnp.where(maskq, msg, ident)
+                fwd = [ident_b]
+                for d in range(dc - 1):
+                    fwd.append(_maxconv(fwd[-1], msg[:, :, d], xt))
+                bwd = [ident_b]
+                for d in range(dc - 1, 0, -1):
+                    bwd.append(_maxconv(bwd[-1], msg[:, :, d], xt))
+                bwd = bwd[::-1]
+                D2 = jnp.stack([_maxconv(fwd[d], bwd[d], xt)
+                                for d in range(dc)], axis=2)
+            else:
+                # budgeted DP over (deviation count <= c, XOR offset y):
+                #   F_d[c] = max(F_{d-1}[c], maxconv(F_{d-1}[c-1], dev_d))
+                # (cumulative-in-c states compose because (max,+) convolution
+                # distributes over max), then the exclusive-of-edge-d profile
+                # is max_{c} maxconv(fwd_d[c], bwd_d[nc-c]).
+                devm = jnp.where(maskq, dev, NEG)   # padded edges never deviate
+
+                def extend(states, d):
+                    new = [states[0]]
+                    for c in range(1, nc + 1):
+                        new.append(jnp.maximum(
+                            states[c],
+                            _maxconv(states[c - 1], devm[:, :, d], xt)))
+                    return new
+
+                # state[c] = best value using AT MOST c deviations, so every
+                # budget level starts from the empty config (ident)
+                fwd = [[ident_b] * (nc + 1)]
+                for d in range(dc - 1):
+                    fwd.append(extend(fwd[-1], d))
+                bwd = [[ident_b] * (nc + 1)]
+                for d in range(dc - 1, 0, -1):
+                    bwd.append(extend(bwd[-1], d))
+                bwd = bwd[::-1]
+                D2 = jnp.stack([
+                    functools.reduce(jnp.maximum, [
+                        _maxconv(fwd[d][c], bwd[d][nc - c], xt)
+                        for c in range(nc + 1)])
+                    for d in range(dc)], axis=2)
             D = jnp.maximum(D, D2)
-        else:
-            raise NotImplementedError(
-                "EMS supports Nc in {1, 2, dc-1} (the reference's shipped and "
-                f"sentinel configs) or method='ems_full'; got Nc={nc}")
-    elif nc not in (1, 2):
-        raise NotImplementedError(
-            "EMS supports Nc in {1, 2, dc-1} or the full mode "
-            f"(method='ems_full'); got Nc={nc}")
+    elif nc < 1:
+        raise ValueError(f"EMS needs Nc >= 1, got Nc={nc}")
 
     # baseline GF value excluding the output edge: g0 = (xor of all c0) ^ c0[dout]
     c0m = jnp.where(mask[None], c0, 0)

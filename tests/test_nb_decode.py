@@ -85,6 +85,22 @@ def test_decoder_matches_oracle(small_code, method, kw):
     np.testing.assert_array_equal(np.asarray(res.hard), hard)
 
 
+@pytest.mark.parametrize("nm,nc", [(3, 3), (2, 4), (4, 3)])
+def test_ems_general_nc_matches_oracle(nm, nc):
+    """2 < Nc < dc-1 exercises the budgeted (max,+) DP branch of
+    _ems_cn_core (arbitrary EMS_NC, like the reference's recursive
+    ConstructConf, myNBLDPC/src/LDPC_Decoder.cpp:319-359)."""
+    code = synthetic_code(q=8, N=12, M=4, dv=2, dc=6, seed=5)
+    rng = np.random.default_rng(11)
+    L = noisy_zero_llr(code, rng, batch=4)
+    dec = nb_decode.make_decoder(code, method="ems", max_iters=4, nm=nm, nc=nc)
+    res = dec(L)
+    hard, ok, iters = run_oracle(code, L, "ems", 4, nm=nm, nc=nc)
+    np.testing.assert_array_equal(np.asarray(res.ok), ok)
+    np.testing.assert_array_equal(np.asarray(res.iters), iters)
+    np.testing.assert_array_equal(np.asarray(res.hard), hard)
+
+
 def test_ems_full_matches_bruteforce(small_code):
     code = small_code
     rng = np.random.default_rng(7)
