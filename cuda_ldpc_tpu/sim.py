@@ -960,6 +960,7 @@ def _run_nb_stream(code: NBCode, sim: cfg.NBSimConfig, mesh, out_dir,
     bits_per_sym = float(np.log2(sim.n_qam))
     info_bits_per_frame = code.k_sym * code.q_bit
     rows: list[dict] = []
+    drain_first = True
     for si, snr in enumerate(sweep.snr_points()):
         done_row = ck.done_rows().get(f"{snr:g}")
         if done_row is not None:
@@ -1009,7 +1010,12 @@ def _run_nb_stream(code: NBCode, sim: cfg.NBSimConfig, mesh, out_dir,
                 break
         consume(pending, timed=not first)
         state, out = drain_fn(state, jax.random.fold_in(pk, ci), sigma)
-        consume(out)
+        # the first drain call of the sweep absorbs drain_fn's jit compile
+        # (minutes through the remote compile helper) — counting it in
+        # decode_s made the stream engine read 5x slower than it runs;
+        # frames still count toward FER either way (timed_frames excludes)
+        consume(out, timed=not drain_first)
+        drain_first = False
         _emit(stats.row("nb"), stats.to_dict("nb"), out_dir, quiet)
         ck.finish_point(stats, "nb")
         rows.append(stats.to_dict("nb"))

@@ -59,19 +59,30 @@ def bench_methods(args) -> list[dict]:
                else list(nb_decode.METHODS))
     out = []
     for method in methods:
-        dec = nb_decode.make_decoder(code, method=method,
-                                     max_iters=args.max_iters,
-                                     nm=args.nm, nc=args.nc)
-        res = dec(bufs[0])           # compile + warm
-        np.asarray(res.iters)
+        import functools
+
+        import jax.numpy as jnp
+
+        # ONE packed counter fetch per rep (each host fetch through the
+        # device runtime costs ~25-30 ms flat; fetching ok and iters
+        # separately halved the reading)
+        def run(L, method=method):
+            r = nb_decode.decode(L, code, method, args.max_iters,
+                                 nm=args.nm, nc=args.nc)
+            return jnp.stack([jnp.sum(jnp.any(r.hard != 0, axis=1)
+                                      .astype(jnp.int32)),
+                              jnp.sum(r.iters)])
+        dec = jax.jit(run)
+        np.asarray(dec(bufs[0]))     # compile + warm
         t0 = time.perf_counter()
         prev = dec(bufs[0])
-        fers, its = [], []
+        errs = its = 0
 
         def fetch(r):
-            ok = np.asarray(r.ok)
-            its.append(float(np.asarray(r.iters).mean()))
-            fers.append(float(1.0 - ok.mean()))
+            nonlocal errs, its
+            e, i = (int(x) for x in np.asarray(r))
+            errs += e
+            its += i
 
         for i in range(1, args.reps):
             nxt = dec(bufs[i % n_bufs])
@@ -83,8 +94,8 @@ def bench_methods(args) -> list[dict]:
             "method": method, "code": args.code, "snr_db": args.snr,
             "batch": B, "max_iters": args.max_iters,
             "frames_per_s": round(args.reps * B / dt, 1),
-            "avg_iters": round(float(np.mean(its)), 2),
-            "fer": round(float(np.mean(fers)), 6),
+            "avg_iters": round(its / (args.reps * B), 2),
+            "fer": round(errs / (args.reps * B), 6),
         }
         out.append(row)
         print(json.dumps(row), flush=True)
