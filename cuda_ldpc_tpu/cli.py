@@ -116,6 +116,10 @@ def build_parser() -> argparse.ArgumentParser:
     n.add_argument("--nm", type=int, default=nd.decoder.nm)
     n.add_argument("--nc", type=int, default=nd.decoder.nc)
     n.add_argument("--max-iters", type=int, default=nd.decoder.max_iters)
+    n.add_argument("--kernel", choices=["auto", "jnp", "pallas"],
+                   default=nd.decoder.kernel,
+                   help="pallas: fused VMEM-resident QSPA kernel "
+                        "(qspa/layered_qspa, batch engine)")
     n.add_argument("--n-qam", type=int, default=nd.n_qam,
                    choices=[2, 64, 256])
     n.add_argument("--batch", type=int, default=nd.batch_per_device)
@@ -175,7 +179,8 @@ def main(argv=None) -> int:
         simcfg = cfg.NBSimConfig(
             code=args.code,
             decoder=cfg.NBDecoderConfig(method=args.method, nm=args.nm,
-                                        nc=args.nc, max_iters=args.max_iters),
+                                        nc=args.nc, max_iters=args.max_iters,
+                                        kernel=args.kernel),
             sweep=_sweep_from(args, cfg.NBSimConfig().sweep),
             n_qam=args.n_qam, batch_per_device=args.batch, tx=args.tx,
             engine=args.engine, stream_steps=args.stream_steps)

@@ -75,11 +75,15 @@ class NBDecoderConfig:
     (define.h:37, Simulation.cpp:56-69), plus 'qspa' / 'layered_qspa' — the
     exact FFT/Hadamard-domain sum-product, flooding or row-layered schedule
     (no reference counterpart).
-    nm/nc: EMS_NM/EMS_NC (define.h:31-32).  max_iters: maxIT (define.h:35)."""
+    nm/nc: EMS_NM/EMS_NC (define.h:31-32).  max_iters: maxIT (define.h:35).
+    kernel: 'auto' | 'jnp' | 'pallas' — 'pallas' forces the fused VMEM-resident
+    QSPA kernel (ops/pallas_qspa; qspa/layered_qspa batch engine only),
+    'auto' uses it on TPU when the code fits."""
     method: str = "ems"
     nm: int = 2
     nc: int = 2
     max_iters: int = 20
+    kernel: str = "auto"
 
 
 @dataclasses.dataclass

@@ -789,6 +789,19 @@ def _nb_decoder_fn(code: NBCode, dec: cfg.NBDecoderConfig):
     if dec.method not in nb_decode.METHODS:
         raise ValueError(f"unknown NB decoder method {dec.method!r} "
                          f"(expected one of {nb_decode.METHODS})")
+    want = getattr(dec, "kernel", "auto")
+    if dec.method in ("qspa", "layered_qspa") and want != "jnp":
+        from cuda_ldpc_tpu.ops import pallas_qspa
+        on_tpu = jax.default_backend() == "tpu"
+        if want == "pallas" or (want == "auto" and on_tpu
+                                and pallas_qspa.supports(code)):
+            if not pallas_qspa.supports(code):
+                raise ValueError(f"pallas qspa kernel unsupported for "
+                                 f"{code.name} (q={code.q})")
+            base = (pallas_qspa.decode_layered
+                    if dec.method == "layered_qspa"
+                    else pallas_qspa.decode_flooding)
+            return lambda L: base(L, code, dec.max_iters)
     return lambda L: nb_decode.decode(L, code, dec.method, dec.max_iters,
                                       nm=dec.nm, nc=dec.nc)
 

@@ -1,0 +1,125 @@
+"""Fused Pallas NB QSPA kernel parity (interpret mode on CPU).
+
+The kernel (ops/pallas_qspa.py) must reproduce ops/nb_decode's qspa /
+layered_qspa decisions, ok flags, and per-frame iteration accounting exactly
+(same argmax tie rule, same syndrome check, same reference-style counting —
+myNBLDPC/src/LDPC_Decoder.cpp:236).  Device (Mosaic-compiled) parity is
+re-verified in the slow-marked TPU test at the bottom.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_ldpc_tpu.ops import nb_decode, pallas_qspa
+
+from test_nb_decode import noisy_zero_llr, synthetic_code
+
+
+@pytest.fixture(scope="module")
+def code():
+    # dv=3 exercises VN accumulation deeper than the shipped dv=2 files
+    return synthetic_code(q=8, N=15, M=9, dv=3, dc=5, seed=1)
+
+
+def _llr(code, batch, seed=0, scale=2.2):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(noisy_zero_llr(code, rng, batch, scale=scale))
+
+
+@pytest.mark.parametrize("layered", [False, True])
+def test_matches_jnp_qspa(code, layered):
+    L = _llr(code, batch=6)
+    meth = "layered_qspa" if layered else "qspa"
+    ref = nb_decode.decode(L, code, meth, 8)
+    fn = (pallas_qspa.decode_layered if layered
+          else pallas_qspa.decode_flooding)
+    got = fn(L, code, 8, tile_b=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.hard), np.asarray(ref.hard))
+    np.testing.assert_array_equal(np.asarray(got.ok), np.asarray(ref.ok))
+    np.testing.assert_array_equal(np.asarray(got.iters),
+                                  np.asarray(ref.iters))
+
+
+def test_padded_batch_and_tiling(code):
+    """B not a multiple of tile_b: padded frames must not perturb results or
+    the early-stop decision."""
+    L = _llr(code, batch=5, seed=3)
+    ref = nb_decode.decode(L, code, "qspa", 8)
+    got = pallas_qspa.decode_flooding(L, code, 8, tile_b=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.hard), np.asarray(ref.hard))
+    np.testing.assert_array_equal(np.asarray(got.iters),
+                                  np.asarray(ref.iters))
+
+
+def test_zero_iters(code):
+    """max_iters=0 mirrors nb_decode._run: zero decisions, not-ok, 0 iters."""
+    L = _llr(code, batch=4, seed=5)
+    got = pallas_qspa.decode_flooding(L, code, 0, tile_b=4, interpret=True)
+    assert not np.asarray(got.ok).any()
+    assert (np.asarray(got.hard) == 0).all()
+    assert (np.asarray(got.iters) == 0).all()
+
+
+def test_no_early_stop(code):
+    """early_stop=False still freezes converged frames (jnp semantics)."""
+    L = _llr(code, batch=4, seed=7, scale=1.0)
+    ref = nb_decode.decode(L, code, "qspa", 6, early_stop=False)
+    got = pallas_qspa.decode_flooding(L, code, 6, tile_b=4, interpret=True,
+                                      early_stop=False)
+    np.testing.assert_array_equal(np.asarray(got.hard), np.asarray(ref.hard))
+    np.testing.assert_array_equal(np.asarray(got.iters),
+                                  np.asarray(ref.iters))
+
+
+def test_supports_gates():
+    from cuda_ldpc_tpu import NBCode
+    bds = NBCode.from_registry("BDS.576.288.GF.64")
+    assert pallas_qspa.supports(bds)
+    tanner = NBCode.from_registry("Tanner_74_9_Z128_GF16")
+    assert not pallas_qspa.supports(tanner)   # 24k edge visits: jnp path
+
+
+def test_plan_dedupes_hadamard_matrices():
+    from cuda_ldpc_tpu import NBCode
+    bds = NBCode.from_registry("BDS.576.288.GF.64")
+    plan = pallas_qspa.make_plan(bds)
+    assert plan.A.shape[0] <= bds.q - 1        # <= distinct nonzero h values
+    assert plan.E == int(bds.cn_mask.sum())
+    # A_h[u, k] = (-1)^popcount((h*u) & k): spot-check one edge end-to-end
+    h = int(bds.cn_gf[0, 0])
+    a = dict()  # rebuild the index the same way make_plan does
+    mul = bds.mul_table
+    A0 = plan.A[plan.row_edges[0][0][2]]
+    u, k = 5, 9
+    par = bin(int(mul[h, u]) & k).count("1") & 1
+    assert A0[u, k] == (-1.0 if par else 1.0)
+
+
+@pytest.mark.slow
+def test_tpu_compiled_parity():
+    """Mosaic-compiled kernel parity on the real device (skips off-TPU)."""
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("needs TPU")
+    from cuda_ldpc_tpu import NBCode
+    from cuda_ldpc_tpu.ops import channel, demod
+    from cuda_ldpc_tpu.utils.constellations import constellation
+    code = NBCode.from_registry("BDS.576.288.GF.64")
+    sigma = channel.sigma_from_snr(2.0, code.rate, "ebn0", 1.0)
+    tx = np.zeros(code.bit_length, dtype=np.int64)
+    L = demod.nb_channel_llr(jax.random.PRNGKey(7), tx, constellation(2),
+                             sigma, batch=64, q=code.q)
+    for fn, meth in ((pallas_qspa.decode_layered, "layered_qspa"),
+                     (pallas_qspa.decode_flooding, "qspa")):
+        got = jax.jit(lambda x, fn=fn: fn(x, code, 20))(L)
+        ref = jax.jit(lambda x, m=meth: nb_decode.decode(x, code, m, 20))(L)
+        np.testing.assert_array_equal(np.asarray(got.hard),
+                                      np.asarray(ref.hard))
+        np.testing.assert_array_equal(np.asarray(got.ok), np.asarray(ref.ok))
+        # Mosaic's matmul accumulation order differs from XLA's einsum, and
+        # the layered schedule propagates those last-ulp differences within a
+        # sweep — allow a +-1 iteration drift on a few frames (measured: 1/64
+        # frames converged one sweep earlier; flooding matches exactly)
+        di = np.asarray(got.iters).astype(int) - np.asarray(ref.iters)
+        assert (np.abs(di) <= 1).all() and (di != 0).mean() <= 0.1

@@ -67,8 +67,16 @@ def bench_methods(args) -> list[dict]:
         # device runtime costs ~25-30 ms flat; fetching ok and iters
         # separately halved the reading)
         def run(L, method=method):
-            r = nb_decode.decode(L, code, method, args.max_iters,
-                                 nm=args.nm, nc=args.nc)
+            if method.startswith("pallas_"):
+                # fused VMEM-resident kernels (ops/pallas_qspa)
+                from cuda_ldpc_tpu.ops import pallas_qspa
+                fn = (pallas_qspa.decode_layered
+                      if method == "pallas_layered_qspa"
+                      else pallas_qspa.decode_flooding)
+                r = fn(L, code, args.max_iters)
+            else:
+                r = nb_decode.decode(L, code, method, args.max_iters,
+                                     nm=args.nm, nc=args.nc)
             return jnp.stack([jnp.sum(jnp.any(r.hard != 0, axis=1)
                                       .astype(jnp.int32)),
                               jnp.sum(r.iters)])
