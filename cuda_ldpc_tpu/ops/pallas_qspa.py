@@ -46,6 +46,7 @@ adjacency codes (the GF(64)/GF(256) files; E <= ~600 edge visits).  The
 from __future__ import annotations
 
 import functools
+import hashlib
 from typing import NamedTuple
 
 import jax
@@ -62,38 +63,68 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 class _Plan(NamedTuple):
-    """Static (compile-time) kernel plan for one code."""
+    """Static (compile-time) kernel plan for one code.
+
+    Two schemes for the per-edge GF permutation (see module docstring):
+
+    * 'astack' (q <= 64): one folded row-permuted Hadamard matrix A_h per
+      distinct coefficient, deduped — the permutation costs nothing but the
+      stack costs nA * q^2 floats of VMEM.
+    * 'logrot' (q > 64, where the stack would blow VMEM — the GF(256)
+      codes): symbol slots are DISCRETE-LOG ordered (slot 0 = symbol 0,
+      slot 1+j = alpha^j), where multiplication by h = alpha^i is a static
+      cyclic rotation of slots 1..q-1 by i (two lane rolls + a select per
+      edge), and ONE shared transform matrix Hlog[slot, u] =
+      (-1)^popcount(sym(slot) & u) serves every edge.
+    """
     N: int
     M: int
     q: int
     E: int                      # number of real edges (padded slots dropped)
     row_edges: tuple            # per CN row: tuple of (eid, vn, a_idx)
     col_edges: tuple            # per VN: tuple of eid
-    A: np.ndarray               # [nA, q, q] f32: deduped A_h matrices
-    hp: np.ndarray              # [E, 1, q] f32: k -> h*k per edge (syndrome)
+    A: np.ndarray               # [nA, q, q] f32 (logrot: [1, q, q] = Hlog)
+    hp: np.ndarray              # [E, 1, q] f32: syndrome value per slot
+    scheme: str                 # 'astack' | 'logrot'
+    rot: tuple                  # logrot: per-edge rotation amount (else ())
+    sym: np.ndarray | None      # logrot: [q] symbol value at log slot
 
 
-@functools.lru_cache(maxsize=None)
-def _plan_cache(code_key):
-    raise KeyError  # populated via make_plan only
+_PLANS: dict[tuple, _Plan] = {}
 
 
-_PLANS: dict[int, _Plan] = {}
+def _code_key(code: NBCode) -> tuple:
+    """Content-based cache key: id(code) could be reused by a different
+    NBCode after garbage collection and silently return a stale plan."""
+    blob = b"".join(np.ascontiguousarray(a).tobytes()
+                    for a in (code.cn_links, code.cn_gf, code.cn_mask))
+    return (code.name, code.n_sym, code.m_sym, code.q,
+            hashlib.sha1(blob).hexdigest())
 
 
-def make_plan(code: NBCode) -> _Plan:
-    key = id(code)
+def make_plan(code: NBCode, scheme: str = "auto") -> _Plan:
+    if scheme == "auto":
+        scheme = "astack" if code.q <= 64 else "logrot"
+    key = _code_key(code) + (scheme,)
     plan = _PLANS.get(key)
     if plan is not None:
         return plan
     mul = code.mul_table
     q = code.q
     H = _hadamard(q)            # validates q = 2^m
+    if scheme == "logrot":
+        from cuda_ldpc_tpu.ops.pallas_qspa_qc import _log_tables
+        sym, logpos = _log_tables(code)
+        # Hlog[slot, u] = H[sym(slot), u]: log-order rows of the Hadamard
+        A_list = [H[sym].astype(np.float32)]
+    else:
+        sym = logpos = None
+        A_list = []
     a_index: dict[int, int] = {}
-    A_list = []
     row_edges = []
     col_edges: list[list[int]] = [[] for _ in range(code.n_sym)]
     hp_rows = []
+    rot = []
     eid = 0
     for m in range(code.m_sym):
         row = []
@@ -101,24 +132,34 @@ def make_plan(code: NBCode) -> _Plan:
             if not code.cn_mask[m, d]:
                 continue
             h = int(code.cn_gf[m, d])
-            a = a_index.get(h)
-            if a is None:
-                a = a_index[h] = len(A_list)
-                # A_h = row-permuted Hadamard: A_h[u, k] = H[h*u, k]
-                A_list.append(H[mul[h]].astype(np.float32))
+            if scheme == "logrot":
+                a = 0
+                rot.append(int(logpos[h]) - 1)       # h = alpha^rot
+                hp_rows.append(mul[h, sym].astype(np.float32))
+            else:
+                a = a_index.get(h)
+                if a is None:
+                    a = a_index[h] = len(A_list)
+                    # A_h = row-permuted Hadamard: A_h[u, k] = H[h*u, k]
+                    A_list.append(H[mul[h]].astype(np.float32))
+                hp_rows.append(mul[h].astype(np.float32))
             n = int(code.cn_links[m, d])
             row.append((eid, n, a))
             col_edges[n].append(eid)
-            hp_rows.append(mul[h].astype(np.float32))
             eid += 1
         row_edges.append(tuple(row))
     plan = _Plan(N=code.n_sym, M=code.m_sym, q=q, E=eid,
                  row_edges=tuple(row_edges),
                  col_edges=tuple(tuple(c) for c in col_edges),
                  A=np.stack(A_list),
-                 hp=np.stack(hp_rows)[:, None, :])
+                 hp=np.stack(hp_rows)[:, None, :],
+                 scheme=scheme, rot=tuple(rot), sym=sym)
     _PLANS[key] = plan
     return plan
+
+
+def clear_plans():
+    _PLANS.clear()
 
 
 def _lane_bytes(q: int) -> int:
@@ -147,21 +188,39 @@ def pick_tile_b(code: NBCode, budget: int = 10 << 20) -> int:
 def supports(code: NBCode, max_edges: int = 640,
              budget: int = 10 << 20) -> bool:
     """True when the fused kernel applies: q = 2^m lane-friendly width,
-    statically-unrollable row count, and the smallest frame tile fits VMEM."""
-    if code.q & (code.q - 1) or code.q < 8:
+    statically-unrollable row count, and the smallest frame tile fits VMEM
+    (q > 64 dispatches the logrot scheme, whose shared transform matrix
+    replaces the per-coefficient A stack — this is what admits GF(256))."""
+    if code.q & (code.q - 1) or not 8 <= code.q <= 256:
         return False
     plan = make_plan(code)
     return plan.E <= max_edges and _vmem_bytes(plan, 8) <= budget
 
 
-def _decide_onehot(t_n):
-    """One-hot argmax over the q lane axis, first-max on ties (matches
-    jnp.argmax in nb_decode's decide)."""
-    tb, q = t_n.shape
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tb, q), 1)
+def _lane_rot(x, c: int, q: int):
+    """Static cyclic rotation of lanes 1..q-1 by c (lane 0 fixed) — the
+    logrot scheme's GF multiply.  Two full-width rolls + selects (the wrapped
+    part of the 1..q-1 subrange comes from a roll by c-(q-1))."""
+    c = c % (q - 1)
+    if c == 0:
+        return x
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    r1 = pltpu.roll(x, c, axis=x.ndim - 1)
+    r2 = pltpu.roll(x, (c - (q - 1)) % q, axis=x.ndim - 1)
+    out = jnp.where(lane >= c + 1, r1, r2)
+    return jnp.where(lane == 0, x, out)
+
+
+def _decide_onehot(t_n, sym):
+    """One-hot argmax over the q lane axis with jnp.argmax's first-max tie
+    rule: ties break on the smallest SYMBOL VALUE.  ``sym`` [1, q] f32 holds
+    each lane's symbol value — the natural iota for 'astack' (lane order ==
+    symbol order), the log-order table for 'logrot'."""
+    q = t_n.shape[1]
     mx = jnp.max(t_n, axis=1, keepdims=True)
-    idx = jnp.min(jnp.where(t_n == mx, lane, q), axis=1, keepdims=True)
-    return jnp.where(lane == idx, 1.0, 0.0)
+    best = jnp.min(jnp.where(t_n == mx, sym, float(q)), axis=1,
+                   keepdims=True)
+    return jnp.where(sym == best, 1.0, 0.0)
 
 
 def _syndrome_viol(plan: _Plan, hard_ref, hp_ref, tile_b: int):
@@ -180,17 +239,22 @@ def _syndrome_viol(plan: _Plan, hard_ref, hp_ref, tile_b: int):
     return viol
 
 
-def _cn_row_update(row, T_ref, C_ref, A_ref, cont, q: int, layered: bool):
+def _cn_row_update(row, T_ref, C_ref, A_ref, cont, q: int, layered: bool,
+                   plan: _Plan):
     """One CN row's exact sum-product update, fused:
-    v2c -> softmax -> spectrum (p @ A_h) -> exclusive product -> inverse
-    (excl @ A_h^T)/q -> log -> normalize to L[0]=0.  Writes guarded by the
-    per-frame cont mask.  Layered additionally writes the new LLR totals
-    (v2c + c2v) back immediately (nb_decode layered_qspa semantics)."""
+    v2c -> [logrot: slot rotation] -> softmax -> spectrum matmul ->
+    exclusive product -> inverse matmul / q -> log -> [logrot: inverse
+    rotation] -> normalize to L[0]=0.  Writes guarded by the per-frame cont
+    mask.  Layered additionally writes the new LLR totals (v2c + c2v) back
+    immediately (nb_decode layered_qspa semantics)."""
+    logrot = plan.scheme == "logrot"
     Fs = []
     v2cs = []
     for eid, n, a in row:
         v = T_ref[n] - C_ref[eid]
         v2cs.append(v)
+        if logrot:
+            v = _lane_rot(v, plan.rot[eid], q)
         p = jax.nn.softmax(v, axis=1)
         Fs.append(jax.lax.dot_general(
             p, A_ref[a], (((1,), (0,)), ((), ())),
@@ -211,16 +275,19 @@ def _cn_row_update(row, T_ref, C_ref, A_ref, cont, q: int, layered: bool):
             excl, A_ref[a], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_HI) * inv_q
         c2v = jnp.log(jnp.maximum(pout, EPS))
+        if logrot:
+            c2v = _lane_rot(c2v, (q - 1) - plan.rot[eid], q)
         c2v = c2v - c2v[:, 0:1]
         if layered:
             T_ref[n] = jnp.where(cont, v2cs[i] + c2v, T_ref[n])
         C_ref[eid] = jnp.where(cont, c2v, C_ref[eid])
 
 
-def _kernel(chan_ref, A_ref, hp_ref, hard_ref, ok_ref, iters_ref,
+def _kernel(chan_ref, A_ref, hp_ref, sym_ref, hard_ref, ok_ref, iters_ref,
             T_ref, C_ref, *, plan: _Plan, num_iters: int, early_stop: bool,
             tile_b: int, layered: bool):
     N, q = plan.N, plan.q
+    sym_lane = sym_ref[...]                      # [1, q] f32
 
     for n in range(N):
         hard_ref[n] = jnp.zeros((tile_b, q), jnp.float32)
@@ -244,7 +311,7 @@ def _kernel(chan_ref, A_ref, hp_ref, hard_ref, ok_ref, iters_ref,
                 T_ref[n] = x
         active = done == 0                       # [TB, 1]
         for n in range(N):
-            oh = _decide_onehot(T_ref[n])
+            oh = _decide_onehot(T_ref[n], sym_lane)
             hard_ref[n] = jnp.where(active, oh, hard_ref[n])
         # done frames' frozen decisions already satisfy the syndrome, so
         # reading hard_ref is safe for every frame
@@ -255,7 +322,7 @@ def _kernel(chan_ref, A_ref, hp_ref, hard_ref, ok_ref, iters_ref,
         done = jnp.where(ok_pass, 1, done)
         cont = active & ~ok_pass
         for row in plan.row_edges:
-            _cn_row_update(row, T_ref, C_ref, A_ref, cont, q, layered)
+            _cn_row_update(row, T_ref, C_ref, A_ref, cont, q, layered, plan)
         return t + 1, done, iters
 
     def cond(state):
@@ -289,6 +356,12 @@ def _decode(L_ch: jax.Array, code: NBCode, num_iters: int, layered: bool,
     chan = L_ch.astype(jnp.float32)
     if Bp != B:
         chan = jnp.pad(chan, ((0, Bp - B), (0, 0), (0, 0)))
+    logrot = plan.scheme == "logrot"
+    if logrot:                                   # lanes in discrete-log order
+        chan = jnp.take(chan, jnp.asarray(plan.sym), axis=2)
+        sym_in = np.asarray(plan.sym, np.float32)[None, :]
+    else:
+        sym_in = np.arange(q, dtype=np.float32)[None, :]
     chan = chan.transpose(1, 0, 2)               # [N, Bp, q]: native tiles
     kernel = functools.partial(_kernel, plan=plan, num_iters=num_iters,
                                early_stop=early_stop, tile_b=tile_b,
@@ -302,6 +375,8 @@ def _decode(L_ch: jax.Array, code: NBCode, num_iters: int, layered: bool,
             pl.BlockSpec((plan.A.shape[0], q, q), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((plan.E, 1, q), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -322,8 +397,10 @@ def _decode(L_ch: jax.Array, code: NBCode, num_iters: int, layered: bool,
             pltpu.VMEM((plan.E, tile_b, q), jnp.float32),   # c2v messages
         ],
         interpret=interpret,
-    )(chan, jnp.asarray(plan.A), jnp.asarray(plan.hp))
+    )(chan, jnp.asarray(plan.A), jnp.asarray(plan.hp), jnp.asarray(sym_in))
     hard = jnp.argmax(hard_oh, axis=2).astype(jnp.int32).T[:B]  # [B, N]
+    if logrot:                                   # slot index -> symbol value
+        hard = jnp.take(jnp.asarray(plan.sym, jnp.int32), hard)
     return NBDecodeResult(hard, ok[:B, 0].astype(bool), iters[:B, 0])
 
 

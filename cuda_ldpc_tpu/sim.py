@@ -278,15 +278,18 @@ def _run_sweep(kind: str, sweep: cfg.SweepConfig, units_per_frame: int,
 # binary simulator
 # --------------------------------------------------------------------------
 
-def _pick_binary_decode(code: QCBinaryCode, dec_cfg: cfg.BinaryDecoderConfig):
+def _pick_binary_decode(code: QCBinaryCode, dec_cfg: cfg.BinaryDecoderConfig,
+                        n_devices: int = 1):
     """Kernel dispatch: fused Pallas on TPU when the code's Z suits it.
     Both rules (minsum + bp sum-product) have fused kernels; the returned
-    callable is tagged with ``is_pallas`` for the driver's col-major check."""
+    callable is tagged with ``is_pallas`` for the driver's col-major check.
+    'auto' only picks pallas on a single-device mesh (pallas_call without
+    shard_map does not partition over a multi-device batch sharding)."""
     from cuda_ldpc_tpu.ops import pallas_minsum
     layered = dec_cfg.schedule == "layered"
     want = dec_cfg.kernel
     on_tpu = jax.default_backend() == "tpu"
-    if want == "pallas" or (want == "auto" and on_tpu
+    if want == "pallas" or (want == "auto" and on_tpu and n_devices == 1
                             and pallas_minsum.supports(code)):
         if not pallas_minsum.supports(code):
             raise ValueError(
@@ -310,7 +313,7 @@ def make_binary_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
     mesh = mesh or get_mesh()
     n_dev = mesh.devices.size
     B = sim.batch_per_device * n_dev
-    decode = _pick_binary_decode(code, dec_cfg)
+    decode = _pick_binary_decode(code, dec_cfg, mesh.devices.size)
     msg_cols = code.L - code.J if dec_cfg.message_only else code.L
     dtype = jnp.dtype(dec_cfg.msg_dtype)
     enc = None
@@ -404,7 +407,7 @@ def make_binary_ref_channel_step(code: QCBinaryCode,
     mesh = mesh or get_mesh()
     B = sim.batch_per_device * mesh.devices.size
     shard = batch_sharding(mesh, 3)
-    decode = _pick_binary_decode(code, dec_cfg)
+    decode = _pick_binary_decode(code, dec_cfg, mesh.devices.size)
     msg_cols = code.L - code.J if dec_cfg.message_only else code.L
     dtype = jnp.dtype(dec_cfg.msg_dtype)
 
@@ -556,7 +559,7 @@ def make_binary_packed_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
     dec_cfg = sim.decoder
     mesh = mesh or get_mesh()
     B = sim.batch_per_device * mesh.devices.size
-    decode = _pick_binary_decode(code, dec_cfg)
+    decode = _pick_binary_decode(code, dec_cfg, mesh.devices.size)
     col = decode.is_pallas
     shard = batch_sharding(mesh, 3, axis_pos=1 if col else 0)
     msg_cols = code.L - code.J if dec_cfg.message_only else code.L
@@ -731,17 +734,14 @@ def make_nb_packed_step(code: NBCode, sim: cfg.NBSimConfig, n_points: int,
     B = sim.batch_per_device * mesh.devices.size
     shard = batch_sharding(mesh, 3)
     pts = constellation(sim.n_qam)
-    tx_labels, tx_syms = _nb_tx(code, sim)
-    tx_dev = jnp.asarray(tx_syms, dtype=jnp.int32)
-    decoder = _nb_decoder_fn(code, dec)
+    src = _make_nb_source(code, sim, pts, B)
+    decoder = _nb_decoder_fn(code, dec, mesh.devices.size)
 
     def step(key, sigma_vec, pid_vec):
-        L = demod.nb_channel_llr(key, tx_labels, pts, sigma_vec, batch=B,
-                                 q=code.q)
+        L, tx = src(key, sigma_vec)
         L = jax.lax.with_sharding_constraint(L, shard)
         res = decoder(L)
-        errsyms = jnp.sum((res.hard != tx_dev[None]).astype(jnp.int32),
-                          axis=1)
+        errsyms = jnp.sum((res.hard != tx).astype(jnp.int32), axis=1)
         has_err = errsyms > 0
         per_frame = jnp.stack([
             jnp.ones_like(errsyms), has_err.astype(jnp.int32), errsyms,
@@ -785,23 +785,40 @@ def run_nb_sweep_packed(sim: cfg.NBSimConfig, mesh=None,
 # non-binary simulator
 # --------------------------------------------------------------------------
 
-def _nb_decoder_fn(code: NBCode, dec: cfg.NBDecoderConfig):
+def _nb_decoder_fn(code: NBCode, dec: cfg.NBDecoderConfig, n_devices: int = 1):
     if dec.method not in nb_decode.METHODS:
         raise ValueError(f"unknown NB decoder method {dec.method!r} "
                          f"(expected one of {nb_decode.METHODS})")
     want = getattr(dec, "kernel", "auto")
-    if dec.method in ("qspa", "layered_qspa") and want != "jnp":
-        from cuda_ldpc_tpu.ops import pallas_qspa
+    qspa_like = dec.method in ("qspa", "layered_qspa", "glayered_qspa")
+    if qspa_like and want != "jnp":
+        from cuda_ldpc_tpu.ops import pallas_qspa, pallas_qspa_qc
         on_tpu = jax.default_backend() == "tpu"
-        if want == "pallas" or (want == "auto" and on_tpu
-                                and pallas_qspa.supports(code)):
-            if not pallas_qspa.supports(code):
-                raise ValueError(f"pallas qspa kernel unsupported for "
-                                 f"{code.name} (q={code.q})")
-            base = (pallas_qspa.decode_layered
-                    if dec.method == "layered_qspa"
-                    else pallas_qspa.decode_flooding)
-            return lambda L: base(L, code, dec.max_iters)
+        # 'auto' only dispatches to pallas on a single-device mesh:
+        # pl.pallas_call without shard_map does not partition over a
+        # multi-device batch sharding (it would gather/replicate the batch)
+        auto_ok = want == "auto" and on_tpu and n_devices == 1
+        # per-edge fused kernel: small/medium adjacency codes,
+        # flooding + serial-row layered schedules
+        if dec.method in ("qspa", "layered_qspa"):
+            ok = pallas_qspa.supports(code)
+            if ok and (want == "pallas" or auto_ok):
+                base = (pallas_qspa.decode_layered
+                        if dec.method == "layered_qspa"
+                        else pallas_qspa.decode_flooding)
+                return lambda L: base(L, code, dec.max_iters)
+        # circulant-aware fused kernel: large QC codes (the Tanner file),
+        # flooding + block-row grouped-layered schedule
+        if dec.method in ("qspa", "glayered_qspa"):
+            ok = pallas_qspa_qc.supports(code)
+            if ok and (want == "pallas" or auto_ok):
+                base = (pallas_qspa_qc.decode_layered
+                        if dec.method == "glayered_qspa"
+                        else pallas_qspa_qc.decode_flooding)
+                return lambda L: base(L, code, dec.max_iters)
+        if want == "pallas":
+            raise ValueError(f"no pallas qspa kernel supports {code.name} "
+                             f"with method={dec.method!r} (q={code.q})")
     return lambda L: nb_decode.decode(L, code, dec.method, dec.max_iters,
                                       nm=dec.nm, nc=dec.nc)
 
@@ -822,6 +839,43 @@ def _nb_tx(code: NBCode, sim: cfg.NBSimConfig):
     return tx_syms, tx_syms
 
 
+def _make_nb_source(code: NBCode, sim: cfg.NBSimConfig, pts, B: int):
+    """Jit-traceable frame source: (key, sigma) -> (L [B, N, q], tx [B, N]).
+
+    tx='zero' | 'fixture' transmit a constant codeword (the reference's only
+    modes — it has no encoder, myNBLDPC/include/codeword_test.h:1);
+    tx='random' draws fresh message bits per frame and encodes on device
+    (NBEncoder.encode_jax, one bit-sliced MXU matmul).  ``sigma`` may be a
+    scalar or a [B] vector (packed sweeps)."""
+    if sim.tx == "random":
+        if sim.n_qam not in (2, code.q):
+            raise ValueError(
+                f"QAM order {sim.n_qam} must equal GF order {code.q} "
+                "(one symbol per constellation point)")
+        from cuda_ldpc_tpu.models.encoder import NBEncoder
+        enc = NBEncoder.from_code(code)
+        nbits = enc.k_eff * code.q_bit
+
+        def src(key, sigma):
+            kmsg, kch = jax.random.split(key)
+            mbits = jax.random.bernoulli(
+                kmsg, 0.5, (B, nbits)).astype(jnp.float32)
+            tx = enc.encode_jax(mbits)                    # [B, N] int32
+            L = demod.nb_channel_llr_tx(kch, tx, pts, sigma, code.q)
+            return L, tx
+
+        return src
+    tx_labels, tx_syms = _nb_tx(code, sim)
+    tx_dev = jnp.asarray(tx_syms, dtype=jnp.int32)
+
+    def src(key, sigma):
+        L = demod.nb_channel_llr(key, tx_labels, pts, sigma, batch=B,
+                                 q=code.q)
+        return L, jnp.broadcast_to(tx_dev[None], (B, code.n_sym))
+
+    return src
+
+
 def make_nb_step(code: NBCode, sim: cfg.NBSimConfig, mesh=None):
     dec = sim.decoder
     mesh = mesh or get_mesh()
@@ -829,15 +883,14 @@ def make_nb_step(code: NBCode, sim: cfg.NBSimConfig, mesh=None):
     B = sim.batch_per_device * n_dev
     shard = batch_sharding(mesh, 3)
     pts = constellation(sim.n_qam)
-    tx_labels, tx_syms = _nb_tx(code, sim)
-    tx_dev = jnp.asarray(tx_syms, dtype=jnp.int32)
-    decoder = _nb_decoder_fn(code, dec)
+    src = _make_nb_source(code, sim, pts, B)
+    decoder = _nb_decoder_fn(code, dec, mesh.devices.size)
 
     def step(key, sigma):
-        L = demod.nb_channel_llr(key, tx_labels, pts, sigma, batch=B, q=code.q)
+        L, tx = src(key, sigma)
         L = jax.lax.with_sharding_constraint(L, shard)
         res = decoder(L)
-        errsyms = jnp.sum((res.hard != tx_dev[None]).astype(jnp.int32), axis=1)
+        errsyms = jnp.sum((res.hard != tx).astype(jnp.int32), axis=1)
         has_err = errsyms > 0
         false_f = has_err & res.ok
         alarm_f = ~has_err & ~res.ok
@@ -875,22 +928,27 @@ def make_nb_stream_fn(code: NBCode, sim: cfg.NBSimConfig, mesh=None):
     in-flight frames would be biased toward slow/hard frames and FER would
     read low."""
     dec = sim.decoder
+    if getattr(dec, "kernel", "auto") == "pallas":
+        raise ValueError(
+            "kernel='pallas' is batch-engine only: the streaming engine "
+            "drives the per-iteration DecoderCore (jnp); use kernel='auto' "
+            "or 'jnp' with engine='stream'")
     mesh = mesh or get_mesh()
     B = sim.batch_per_device * mesh.devices.size
     shard = batch_sharding(mesh, 3)
     pts = constellation(sim.n_qam)
-    tx_labels, tx_syms = _nb_tx(code, sim)
-    tx_dev = jnp.asarray(tx_syms, dtype=jnp.int32)
+    src = _make_nb_source(code, sim, pts, B)
     core = nb_decode.build_core(code, dec.method, nm=dec.nm, nc=dec.nc)
     g = core.g
     max_it = dec.max_iters
     n_steps = sim.stream_steps
 
     def fresh(key, sigma):
-        L = demod.nb_channel_llr(key, tx_labels, pts, sigma, batch=B,
-                                 q=code.q)
+        L, tx = src(key, sigma)
         L = jax.lax.with_sharding_constraint(L, shard)
-        return core.init(L)
+        # tx rides in the slot state so per-slot refills splice in each fresh
+        # frame's own codeword (constant for tx='zero'/'fixture')
+        return (core.init(L), tx)
 
     def init_fn(key, sigma):
         carry = fresh(key, sigma)
@@ -898,12 +956,11 @@ def make_nb_stream_fn(code: NBCode, sim: cfg.NBSimConfig, mesh=None):
 
     def _inner(refill: bool):
         def inner(i, val):
-            (carry, t, alive), counters, key, sigma = val
+            ((carry, tx), t, alive), counters, key, sigma = val
             hard, llr = core.decide(carry)
             ok = nb_decode._syndrome_ok(g, hard)
             done = alive & (ok | (t >= max_it))
-            errsyms = jnp.sum((hard != tx_dev[None]).astype(jnp.int32),
-                              axis=1)
+            errsyms = jnp.sum((hard != tx).astype(jnp.int32), axis=1)
             has_err = errsyms > 0
             di = done.astype(jnp.int32)
             counters = counters + jnp.stack([
@@ -917,13 +974,14 @@ def make_nb_stream_fn(code: NBCode, sim: cfg.NBSimConfig, mesh=None):
             carry = core.step(carry, llr, cont)
             if refill:
                 new = fresh(jax.random.fold_in(key, i), sigma)
-                carry = jax.tree_util.tree_map(
-                    lambda n, o: nb_decode._freeze(done, n, o), new, carry)
+                carry, tx = jax.tree_util.tree_map(
+                    lambda n, o: nb_decode._freeze(done, n, o), new,
+                    (carry, tx))
                 t = jnp.where(done, 0, t + 1)
             else:
                 alive = cont
                 t = jnp.where(cont, t + 1, t)
-            return (carry, t, alive), counters, key, sigma
+            return ((carry, tx), t, alive), counters, key, sigma
         return inner
 
     def run_fn(state, key, sigma):
