@@ -18,6 +18,7 @@ a single f32 matmul mod 2 on the MXU.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import pathlib
 
 import numpy as np
@@ -128,7 +129,12 @@ class NBEncoder:
         return self.free.size
 
     @classmethod
-    def from_code(cls, code: NBCode):
+    def from_code(cls, code: NBCode, cache: bool = True):
+        path = ASSETS_DIR / f"enc_nb_{code.name}.npz"
+        if cache and path.exists():
+            with np.load(path) as d:
+                return cls(code, d["pivots"], d["free"],
+                           d["R"].astype(np.int64))
         q = code.q
         mul, inv = code.mul_table, code.inv_table
         # dense H over GF(q)
@@ -149,14 +155,62 @@ class NBEncoder:
                 H[[r, p]] = H[[p, r]]
             H[r] = mul[inv[H[r, col]], H[r]]          # scale row to pivot 1
             sel = np.nonzero(H[:, col])[0]
-            for s in sel:
-                if s != r:
-                    H[s] = H[s] ^ mul[H[s, col], H[r]]
+            sel = sel[sel != r]
+            if sel.size:                              # vectorized row ops
+                H[sel] ^= mul[H[sel, col][:, None], H[r][None, :]]
             pivots.append(col)
             r += 1
         pivots = np.array(pivots, dtype=np.int64)
         free = np.setdiff1d(np.arange(code.n_sym), pivots)
-        return cls(code, pivots, free, H[:r][:, free])
+        R = H[:r][:, free]
+        if cache:
+            ASSETS_DIR.mkdir(parents=True, exist_ok=True)
+            np.savez_compressed(path, pivots=pivots, free=free,
+                                R=R.astype(np.uint8 if q <= 256 else np.int64))
+        return cls(code, pivots, free, R)
+
+    @functools.cached_property
+    def _bit_matrix(self) -> np.ndarray:
+        """GF(2^m) is an m-dimensional GF(2) vector space and multiplication
+        by a constant is GF(2)-linear, so the whole parity map expands to ONE
+        binary matrix over message BITS: Rb[i*m+t, j*m+s] = bit t of
+        mul(R[i,j], 2^s).  parity_bits = msg_bits @ Rb.T mod 2 — a single
+        MXU matmul per batch on device (the reference has no encoder at all;
+        myNBLDPC/src/LDPC_Encoder.cpp:6-36 only packs bits of a fixture)."""
+        m = self.code.q_bit
+        mul = self.code.mul_table
+        rank, k_eff = self.R.shape
+        Rb = np.zeros((rank * m, k_eff * m), dtype=np.uint8)
+        for s in range(m):
+            contrib = mul[self.R, 1 << s]                 # [rank, k_eff]
+            for t in range(m):
+                Rb[t::m, s::m] = (contrib >> t) & 1
+        return Rb
+
+    def encode_jax(self, msg_bits):
+        """Batched device encode from message BITS.
+
+        msg_bits: [..., k_eff * q_bit] float32 in {0, 1}, LSB-first per
+        symbol (bit s of free symbol j at index j*q_bit + s — the reference's
+        BitToSym packing, myNBLDPC/src/LDPC_Encoder.cpp:6-17).  Returns
+        codeword SYMBOLS [..., N] int32.  The parity matmul runs in bf16
+        storage with f32 accumulation (exact: 0/1 operands, sums < 2^24)."""
+        import jax.numpy as jnp
+
+        m = self.code.q_bit
+        Rb = jnp.asarray(self._bit_matrix.T, dtype=jnp.bfloat16)
+        mb = jnp.asarray(msg_bits, dtype=jnp.bfloat16)
+        par_bits = jnp.mod(
+            jnp.matmul(mb, Rb, preferred_element_type=jnp.float32), 2.0)
+        w = jnp.asarray([1 << s for s in range(m)], dtype=jnp.int32)
+        msyms = jnp.sum(msg_bits.reshape(msg_bits.shape[:-1] + (-1, m))
+                        .astype(jnp.int32) * w, axis=-1)
+        psyms = jnp.sum(par_bits.reshape(par_bits.shape[:-1] + (-1, m))
+                        .astype(jnp.int32) * w, axis=-1)
+        cw = jnp.zeros(msg_bits.shape[:-1] + (self.code.n_sym,), jnp.int32)
+        cw = cw.at[..., jnp.asarray(self.free)].set(msyms)
+        cw = cw.at[..., jnp.asarray(self.pivots)].set(psyms)
+        return cw
 
     def encode(self, msg: np.ndarray) -> np.ndarray:
         """msg [..., k_eff] GF symbols -> codeword [..., N] symbols.

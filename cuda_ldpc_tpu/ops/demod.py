@@ -74,6 +74,38 @@ def llr_qam(y: jax.Array, sigma, points: np.ndarray) -> jax.Array:
     return num / (2.0 * sigma * sigma)
 
 
+def nb_channel_llr_tx(key: jax.Array, tx_syms: jax.Array, points: np.ndarray,
+                      sigma, q: int) -> jax.Array:
+    """Per-frame transmit symbols -> modulate -> complex AWGN -> symbol LLRs.
+
+    Device-side counterpart of ``nb_channel_llr`` for random-codeword
+    transmission (tx='random'): tx_syms is a [B, N] int32 device array (one
+    codeword per frame, from NBEncoder.encode_jax).  ``sigma``: scalar or [B]
+    vector.  Returns [B, N, q].  The reference cannot do this at all — it
+    pins a fixture codeword because it lacks an encoder
+    (myNBLDPC/include/codeword_test.h:1, src/main.cu:190-212)."""
+    B, N = tx_syms.shape
+    sig = jnp.asarray(sigma, dtype=jnp.float32)
+    per_frame = sig.ndim == 1
+    if len(points) == 2:                             # BPSK: one sample per bit
+        q_bit = q.bit_length() - 1
+        bits = ((tx_syms[..., None] >> jnp.arange(q_bit)) & 1)
+        bits = bits.reshape(B, N * q_bit).astype(jnp.float32)
+        re0 = float(points[0].real)
+        re1 = float(points[1].real)
+        x = re0 + bits * (re1 - re0)                 # gather-free modulate
+        noise = jax.random.normal(key, x.shape, dtype=jnp.float32)
+        y = x + (sig[:, None] if per_frame else sig) * noise
+        return llr_bpsk(y.reshape(B, N, q_bit),
+                        sig[:, None, None] if per_frame else sig, q)
+    re = jnp.take(jnp.asarray(points.real, jnp.float32), tx_syms)
+    im = jnp.take(jnp.asarray(points.imag, jnp.float32), tx_syms)
+    x = jnp.stack([re, im], axis=-1)                 # [B, N, 2]
+    noise = jax.random.normal(key, x.shape, dtype=jnp.float32)
+    y = x + (sig[:, None, None] if per_frame else sig) * noise
+    return llr_qam(y, sig[:, None, None] if per_frame else sig, points)
+
+
 def nb_channel_llr(key: jax.Array, tx_labels: np.ndarray, points: np.ndarray,
                    sigma, batch: int, q: int) -> jax.Array:
     """Modulate a fixed symbol/bit label sequence, add complex AWGN, demap to

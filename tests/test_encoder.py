@@ -69,3 +69,58 @@ def test_nb_fixture_is_valid_codeword():
     code = NBCode.from_registry("BDS.576.288.GF.64")
     cw = registry.load_test_codeword(96)
     assert not code.syndrome(cw).any()
+
+
+def test_nb_encoder_jax_matches_numpy():
+    code = NBCode.from_registry("BDS.576.288.GF.64")
+    enc = NBEncoder.from_code(code, cache=False)
+    rng = np.random.default_rng(4)
+    m = code.q_bit
+    bits = rng.integers(0, 2, size=(3, enc.k_eff * m)).astype(np.float32)
+    # numpy path takes symbols (LSB-first bit packing, LDPC_Encoder.cpp:6-17)
+    msg_syms = (bits.reshape(3, -1, m).astype(int)
+                * (1 << np.arange(m))).sum(axis=2)
+    np.testing.assert_array_equal(np.asarray(enc.encode_jax(bits)),
+                                  enc.encode(msg_syms))
+
+
+def test_nb_random_tx_step_counts_errors_fairly():
+    """make_nb_step with tx='random': device-encoded codewords decode back to
+    themselves at high SNR (counters ~0), and the syndrome check agrees."""
+    import jax
+    from cuda_ldpc_tpu import config as cfg
+    from cuda_ldpc_tpu import sim as simmod
+
+    code = NBCode.from_registry("BDS.576.288.GF.64")
+    s = cfg.NBSimConfig(code=code.name, tx="random", batch_per_device=16,
+                        decoder=cfg.NBDecoderConfig(method="qspa",
+                                                    max_iters=10,
+                                                    kernel="jnp"))
+    fn, B = simmod.make_nb_step(code, s)
+    out = np.asarray(fn(jax.random.PRNGKey(0), 0.28))   # ~11 dB: error-free
+    errsyms, errf, falsef, alarmf, iters = (int(x) for x in out)
+    assert errf == 0 and errsyms == 0
+    assert falsef == 0 and alarmf == 0
+
+
+def test_nb_random_tx_stream_smoke():
+    """Streaming engine with tx='random': per-slot codewords ride the state
+    tree and refills splice fresh ones (counters stay consistent)."""
+    import jax
+    from cuda_ldpc_tpu import config as cfg
+    from cuda_ldpc_tpu import sim as simmod
+
+    code = NBCode.from_registry("BDS.576.288.GF.64")
+    s = cfg.NBSimConfig(code=code.name, tx="random", batch_per_device=8,
+                        engine="stream", stream_steps=4,
+                        decoder=cfg.NBDecoderConfig(method="qspa",
+                                                    max_iters=6,
+                                                    kernel="jnp"))
+    init_fn, run_fn, drain_fn, B = simmod.make_nb_stream_fn(code, s)
+    key = jax.random.PRNGKey(1)
+    st = init_fn(key, 0.30)
+    st, c1 = run_fn(st, jax.random.fold_in(key, 1), 0.30)
+    st, c2 = drain_fn(st, jax.random.fold_in(key, 2), 0.30)
+    c = np.asarray(c1) + np.asarray(c2)
+    assert c[0] >= B                 # every slot finished at least one frame
+    assert c[1] == 0 and c[2] == 0   # error-free at ~10.5 dB

@@ -123,3 +123,55 @@ def test_tpu_compiled_parity():
         # frames converged one sweep earlier; flooding matches exactly)
         di = np.asarray(got.iters).astype(int) - np.asarray(ref.iters)
         assert (np.abs(di) <= 1).all() and (di != 0).mean() <= 0.1
+
+
+# ---------------------------------------------------------------------------
+# logrot scheme (q > 64): shared log-ordered Hadamard + per-edge lane
+# rotations replace the per-coefficient A stack, admitting the GF(256) codes
+# ---------------------------------------------------------------------------
+
+def _gf256_llr(code, batch, seed, scale=1.5):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(noisy_zero_llr(code, rng, batch, scale=scale))
+
+
+@pytest.mark.parametrize("name,batch", [
+    ("LDPC_N96_K48_GF256_d1_exp", 4),
+    ("LDPC_N576_K480_GF256_exp", 3),
+])
+def test_gf256_supported_and_matches_jnp(name, batch):
+    from cuda_ldpc_tpu import NBCode
+    code = NBCode.from_registry(name)
+    assert pallas_qspa.supports(code)
+    plan = pallas_qspa.make_plan(code)
+    assert plan.scheme == "logrot" and plan.A.shape[0] == 1
+    L = _gf256_llr(code, batch, seed=11)
+    for layered, meth in ((False, "qspa"), (True, "layered_qspa")):
+        ref = nb_decode.decode(L, code, meth, 5)
+        fn = (pallas_qspa.decode_layered if layered
+              else pallas_qspa.decode_flooding)
+        got = fn(L, code, 5, tile_b=4, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got.hard),
+                                      np.asarray(ref.hard))
+        np.testing.assert_array_equal(np.asarray(got.ok), np.asarray(ref.ok))
+        np.testing.assert_array_equal(np.asarray(got.iters),
+                                      np.asarray(ref.iters))
+
+
+def test_logrot_plan_tables():
+    """sym is a group enumeration; rot/hp agree with the GF tables."""
+    from cuda_ldpc_tpu import NBCode
+    code = NBCode.from_registry("LDPC_N96_K48_GF256_d1_exp")
+    plan = pallas_qspa.make_plan(code)
+    mul = code.mul_table
+    assert sorted(plan.sym.tolist()) == list(range(code.q))
+    eid = 0
+    for m in range(code.m_sym):
+        for d in range(code.max_dc):
+            if not code.cn_mask[m, d]:
+                continue
+            h = int(code.cn_gf[m, d])
+            assert plan.sym[1 + plan.rot[eid]] == h       # h = alpha^rot
+            np.testing.assert_array_equal(plan.hp[eid, 0],
+                                          mul[h, plan.sym].astype(np.float32))
+            eid += 1

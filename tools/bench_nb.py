@@ -67,7 +67,14 @@ def bench_methods(args) -> list[dict]:
         # device runtime costs ~25-30 ms flat; fetching ok and iters
         # separately halved the reading)
         def run(L, method=method):
-            if method.startswith("pallas_"):
+            if method.startswith("pallas_qc_"):
+                # circulant-aware fused kernel (ops/pallas_qspa_qc)
+                from cuda_ldpc_tpu.ops import pallas_qspa_qc
+                fn = (pallas_qspa_qc.decode_layered
+                      if method == "pallas_qc_glayered"
+                      else pallas_qspa_qc.decode_flooding)
+                r = fn(L, code, args.max_iters)
+            elif method.startswith("pallas_"):
                 # fused VMEM-resident kernels (ops/pallas_qspa)
                 from cuda_ldpc_tpu.ops import pallas_qspa
                 fn = (pallas_qspa.decode_layered
