@@ -102,6 +102,12 @@ class BinarySimConfig:
                                       # (the CUDA reference's exact host LCG
                                       # noise sequence, seeds reset per SNR
                                       # point like bldpc_实习/main.cu:117-119)
+    # engine: 'batch' decodes whole batches until every frame converges (the
+    # reference's host loop, bldpc_实习/LDPC_Decoder.cu:94-156); 'stream' is
+    # the continuous-batching engine — finished frames leave their slot
+    # immediately (see sim.make_binary_stream_fn).
+    engine: str = "batch"             # 'batch' | 'stream'
+    stream_steps: int = 16            # decoder iterations per streaming call
 
 
 @dataclasses.dataclass
@@ -112,7 +118,8 @@ class NBSimConfig:
     sweep: SweepConfig = dataclasses.field(default_factory=SweepConfig)
     n_qam: int = 2                    # n_QAM (define.h:25): 2 | 64 | 256
     batch_per_device: int = 256
-    tx: str = "zero"                  # 'zero' | 'fixture' (codeword_test.h)
+    tx: str = "zero"                  # 'zero' | 'fixture' (codeword_test.h) |
+                                      # 'random' (device NBEncoder per frame)
     # engine: 'batch' decodes whole batches to the slowest frame's iteration
     # count (like the reference); 'stream' is the continuous-batching engine —
     # finished frames leave their batch slot immediately and a fresh frame

@@ -219,6 +219,96 @@ def make_flooding_fn(code: QCBinaryCode, num_iters: int, alpha: float = 1.0,
         beta=beta, check=check, early_stop=early_stop, msg_dtype=msg_dtype))
 
 
+class BinaryCore(NamedTuple):
+    """A binary decoder decomposed into jittable per-iteration pieces, the
+    shape nb_decode.DecoderCore established: the carry holds ALL per-frame
+    state (including the channel LLRs) so a continuous-batching driver can
+    splice fresh frames into finished slots with one tree-select.
+
+    init(chan [B, L, Z]) -> carry
+    decide(carry)        -> (hard [B, L, Z] bool, totals)
+    step(carry, totals, cont [B] bool) -> carry   (frozen where ~cont)
+    """
+    init: object
+    decide: object
+    step: object
+
+
+def build_core(code: QCBinaryCode, rule: str = "minsum",
+               schedule: str = "flooding", alpha: float = 1.0,
+               beta: float = 0.0, msg_dtype=None) -> BinaryCore:
+    """Per-iteration core for the jnp binary decoders (flooding or layered).
+    Iteration semantics match decode_flooding / decode_layered except that
+    frames are FROZEN per-frame via ``cont`` (the batch decoders instead
+    keep updating converged frames until the whole batch stops, faithful to
+    the reference's all-frames host loop, bldpc_实习/LDPC_Decoder.cu:94-156 —
+    freezing is what a continuous-batching engine needs)."""
+    cn_fn = _CN_RULES[rule]
+    E = code.num_edges
+
+    if schedule == "flooding":
+        def init(chan):
+            chan = chan.astype(msg_dtype or chan.dtype)
+            R0 = jnp.zeros(chan.shape[:1] + (E, code.Z), dtype=chan.dtype)
+            return (chan, R0)
+
+        def decide(carry):
+            chan, R = carry
+            total, hard, _ = _vn_update(code, chan, R)
+            return hard, total
+
+        def step(carry, total, cont):
+            chan, R = carry
+            edge_l = code.edges[:, 1]
+            Q = total[:, edge_l, :] - R
+            newR = [None] * E
+            for j in range(code.J):
+                Rr = cn_fn(_row_stack(code, Q, j), alpha, beta)
+                for i, e in enumerate(code.row_edges[j]):
+                    newR[e] = jnp.roll(Rr[:, i], int(code.edges[e, 2]),
+                                       axis=-1)
+            newR = jnp.stack(newR, axis=1)
+            c = cont[:, None, None]
+            return (chan, jnp.where(c, newR, R))
+
+        return BinaryCore(init, decide, step)
+
+    if schedule == "layered":
+        def init(chan):
+            chan = chan.astype(msg_dtype or chan.dtype)
+            R0 = jnp.zeros(chan.shape[:1] + (E, code.Z), dtype=chan.dtype)
+            return (chan, R0)
+
+        def decide(carry):
+            total, _ = carry
+            return total < 0, total
+
+        def step(carry, total_unused, cont):
+            total0, R0 = carry
+            total = total0
+            newR = list(jnp.moveaxis(R0, 1, 0))
+            for j in range(code.J):
+                idx = code.row_edges[j]
+                shifts = [int(code.edges[e, 2]) for e in idx]
+                Qr = jnp.stack(
+                    [jnp.roll(total[:, int(code.edges[e, 1])] - newR[e],
+                              -s, axis=-1)
+                     for e, s in zip(idx, shifts)], axis=1)
+                Rr = cn_fn(Qr, alpha, beta)
+                for i, (e, s) in enumerate(zip(idx, shifts)):
+                    new_col = jnp.roll(Rr[:, i], s, axis=-1)
+                    l = int(code.edges[e, 1])
+                    total = total.at[:, l].add(new_col - newR[e])
+                    newR[e] = new_col
+            c = cont[:, None, None]
+            return (jnp.where(c, total, total0),
+                    jnp.where(c, jnp.stack(newR, axis=1), R0))
+
+        return BinaryCore(init, decide, step)
+
+    raise ValueError(f"unknown schedule {schedule!r}")
+
+
 def decode_layered(chan: jax.Array, code: QCBinaryCode, num_iters: int,
                    alpha: float = 1.0, beta: float = 0.0,
                    check: str = "syndrome", early_stop: bool = True,

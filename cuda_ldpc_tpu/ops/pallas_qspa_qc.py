@@ -332,21 +332,21 @@ def _kernel(chan_ref, H_ref, ibits_ref, hv_ref, symc_ref,
                               jnp.zeros((q, tile_b, Z), jnp.float32))
     if num_iters <= 0:           # mirror nb_decode._run with max_iters=0
         for c in range(NB):
-            hard_ref[c] = jnp.zeros((tile_b, Z), jnp.int32)
-        ok_ref[...] = jnp.zeros((tile_b, 128), jnp.int32)
-        iters_ref[...] = jnp.zeros((tile_b, 128), jnp.int32)
+            hard_ref[0, c] = jnp.zeros((tile_b, Z), jnp.int32)
+        ok_ref[0] = jnp.zeros((tile_b, 128), jnp.int32)
+        iters_ref[0] = jnp.zeros((tile_b, 128), jnp.int32)
         return
 
     C_ref[...] = jnp.zeros(C_ref.shape, jnp.float32)
     if layered:
         for c in range(NB):
-            T_ref[c] = chan_ref[c]
+            T_ref[c] = chan_ref[0, c]
 
     def body(state):
         t, done, iters = state
         if not layered:          # flooding: totals derived from c2v each pass
             for c in range(NB):
-                x = chan_ref[c]
+                x = chan_ref[0, c]
                 for eid, s in plan.col_edges[c]:
                     r = pltpu.roll(C_ref[eid], s, axis=2) if s else C_ref[eid]
                     x = x + r
@@ -379,9 +379,9 @@ def _kernel(chan_ref, H_ref, ibits_ref, hv_ref, symc_ref,
                                         (jnp.int32(0), done0, it0))
     for c in range(NB):
         sym_val = _rtree(OH_ref[c] * symc, jnp.add)[0]       # [TB, Z]
-        hard_ref[c] = sym_val.astype(jnp.int32)
-    ok_ref[...] = jnp.broadcast_to(done, (tile_b, 128))
-    iters_ref[...] = jnp.broadcast_to(iters, (tile_b, 128))
+        hard_ref[0, c] = sym_val.astype(jnp.int32)
+    ok_ref[0] = jnp.broadcast_to(done, (tile_b, 128))
+    iters_ref[0] = jnp.broadcast_to(iters, (tile_b, 128))
 
 
 def _decode(L_ch: jax.Array, code: NBCode, num_iters: int, layered: bool,
@@ -402,9 +402,14 @@ def _decode(L_ch: jax.Array, code: NBCode, num_iters: int, layered: bool,
     chan = L_ch.astype(jnp.float32)
     if Bp != B:
         chan = jnp.pad(chan, ((0, Bp - B), (0, 0), (0, 0)))
-    # log-order the symbol axis, then [B, NB, Z, q] -> [NB, q, Bp, Z]
+    # log-order the symbol axis, then [Bp, NB, Z, q] -> [nt, NB, q, TB, Z].
+    # The frame-tile blocking rides a LEADING nt axis: Mosaic requires the
+    # last two dims of a blocked spec to be (8, 128)-divisible or equal to
+    # the array dims, which (TB, Z) with small TB satisfies only when the
+    # block covers them fully.
     chan = jnp.take(chan, jnp.asarray(plan.sym), axis=2)
-    chan = chan.reshape(Bp, plan.NB, plan.Z, q).transpose(1, 3, 0, 2)
+    chan = chan.reshape(nt, tile_b, plan.NB, plan.Z, q)
+    chan = chan.transpose(0, 2, 4, 1, 3)
     kernel = functools.partial(_kernel, plan=plan, num_iters=num_iters,
                                early_stop=early_stop, tile_b=tile_b,
                                layered=layered)
@@ -412,8 +417,8 @@ def _decode(L_ch: jax.Array, code: NBCode, num_iters: int, layered: bool,
         kernel,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((plan.NB, q, tile_b, plan.Z),
-                         lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, plan.NB, q, tile_b, plan.Z),
+                         lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((q, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(plan.ibits.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -422,17 +427,17 @@ def _decode(L_ch: jax.Array, code: NBCode, num_iters: int, layered: bool,
             pl.BlockSpec((q, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((plan.NB, tile_b, plan.Z), lambda i: (0, i, 0),
+            pl.BlockSpec((1, plan.NB, tile_b, plan.Z),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
+            pl.BlockSpec((1, tile_b, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((plan.NB, Bp, plan.Z), jnp.int32),
-            jax.ShapeDtypeStruct((Bp, 128), jnp.int32),
-            jax.ShapeDtypeStruct((Bp, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nt, plan.NB, tile_b, plan.Z), jnp.int32),
+            jax.ShapeDtypeStruct((nt, tile_b, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nt, tile_b, 128), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((plan.NB, q, tile_b, plan.Z), jnp.float32),   # totals
@@ -442,7 +447,9 @@ def _decode(L_ch: jax.Array, code: NBCode, num_iters: int, layered: bool,
         interpret=interpret,
     )(chan, jnp.asarray(plan.Hlog), jnp.asarray(plan.ibits),
       jnp.asarray(plan.hv), jnp.asarray(plan.sym, dtype=jnp.float32)[:, None])
-    hard = hard.transpose(1, 0, 2).reshape(Bp, N)[:B]
+    hard = hard.transpose(0, 2, 1, 3).reshape(Bp, N)[:B]
+    ok = ok.reshape(Bp, 128)
+    iters = iters.reshape(Bp, 128)
     return NBDecodeResult(hard, ok[:B, 0].astype(bool), iters[:B, 0])
 
 

@@ -458,6 +458,141 @@ def _ref_channel_source(code: QCBinaryCode, B: int):
     return Source()
 
 
+def make_binary_stream_fn(code: QCBinaryCode, sim: cfg.BinarySimConfig,
+                          mesh=None):
+    """Continuous-batching binary decode engine (the NB stream engine's
+    design — sim.make_nb_stream_fn — applied to the binary decoders, which
+    the reference runs strictly batch-granular: its host loop iterates until
+    EVERY frame of the 4096-frame batch converges,
+    bldpc_实习/LDPC_Decoder.cu:94-156).  Every decoder iteration ends with a
+    per-slot check; finished slots are counted and immediately re-seeded
+    with a fresh frame, so throughput tracks the MEAN iteration count.
+
+    Returns (init_fn, run_fn, drain_fn, B); counters = [frames, err_frames,
+    err_bits, false, alarm, iter_sum].  Drives the jnp BinaryCore (the fused
+    Pallas kernels decode whole calls and cannot refill per iteration; see
+    ops/pallas_minsum_stream for the fused stream step)."""
+    dec = sim.decoder
+    if dec.kernel == "pallas":
+        raise ValueError("engine='stream' drives the per-iteration jnp "
+                         "core; use kernel='auto' or 'jnp'")
+    if sim.tx == "random" and dec.check == "zero":
+        raise ValueError("tx='random' needs check='syndrome'")
+    if dec.check == "none":
+        raise ValueError("engine='stream' needs a per-frame check "
+                         "('zero' or 'syndrome')")
+    mesh = mesh or get_mesh()
+    B = sim.batch_per_device * mesh.devices.size
+    shard = batch_sharding(mesh, 3)
+    core = minsum.build_core(code, rule=dec.rule, schedule=dec.schedule,
+                             alpha=dec.alpha, beta=dec.beta,
+                             msg_dtype=jnp.dtype(dec.msg_dtype))
+    msg_cols = code.L - code.J if dec.message_only else code.L
+    enc = None
+    if sim.tx == "random":
+        from cuda_ldpc_tpu.models.encoder import BinaryEncoder
+        enc = BinaryEncoder.from_code(code)
+    llr_scale = ((lambda chan, sigma: chan * (2.0 / (sigma * sigma)))
+                 if dec.rule == "bp" else (lambda chan, sigma: chan))
+    max_it = dec.max_iters
+    n_steps = sim.stream_steps
+
+    def fresh(key, sigma):
+        if enc is None:
+            cw = jnp.zeros((B, code.L, code.Z), jnp.float32)
+        else:
+            kmsg, key = jax.random.split(key)
+            msg = jax.random.bernoulli(
+                kmsg, 0.5, (B, enc.k_eff)).astype(jnp.float32)
+            cw = enc.encode_jax(msg).reshape(B, code.L, code.Z)
+            cw = cw.astype(jnp.float32)
+        x = 1.0 - 2.0 * cw
+        if sim.add_noise:
+            chan = x + sigma * jax.random.normal(key, x.shape,
+                                                 dtype=jnp.float32)
+        else:
+            chan = x
+        chan = jax.lax.with_sharding_constraint(llr_scale(chan, sigma),
+                                                shard)
+        return (core.init(chan), cw.astype(jnp.int8))
+
+    def init_fn(key, sigma):
+        carry = fresh(key, sigma)
+        return (carry, jnp.zeros((B,), jnp.int32), jnp.ones((B,), bool))
+
+    def _inner(refill: bool):
+        def inner(i, val):
+            ((carry, cw), t, alive), counters, key, sigma = val
+            hard, totals = core.decide(carry)
+            ok = minsum._check(code, hard, dec.check)
+            done = alive & (ok | (t >= max_it))
+            errs = hard[:, :msg_cols].astype(jnp.int32) \
+                != cw[:, :msg_cols].astype(jnp.int32)
+            errbits = jnp.sum(errs, axis=(1, 2))
+            has_err = errbits > 0
+            di = done.astype(jnp.int32)
+            counters = counters + jnp.stack([
+                jnp.sum(di),
+                jnp.sum(di * has_err.astype(jnp.int32)),
+                jnp.sum(di * errbits),
+                jnp.sum(di * (has_err & ok).astype(jnp.int32)),
+                jnp.sum(di * (~has_err & ~ok).astype(jnp.int32)),
+                jnp.sum(di * t)])
+            cont = alive & ~done
+            carry = core.step(carry, totals, cont)
+            if refill:
+                new = fresh(jax.random.fold_in(key, i), sigma)
+                carry, cw = jax.tree_util.tree_map(
+                    lambda n, o: nb_decode._freeze(done, n, o), new,
+                    (carry, cw))
+                t = jnp.where(done, 0, t + 1)
+            else:
+                alive = cont
+                t = jnp.where(cont, t + 1, t)
+            return ((carry, cw), t, alive), counters, key, sigma
+        return inner
+
+    def run_fn(state, key, sigma):
+        val = (state, jnp.zeros((6,), jnp.int32), key, sigma)
+        state, counters, _, _ = jax.lax.fori_loop(0, n_steps, _inner(True),
+                                                  val)
+        return state, counters
+
+    def drain_fn(state, key, sigma):
+        val = (state, jnp.zeros((6,), jnp.int32), key, sigma)
+        state, counters, _, _ = jax.lax.fori_loop(0, max_it + 1,
+                                                  _inner(False), val)
+        return state, counters
+
+    return (jax.jit(init_fn), jax.jit(run_fn, donate_argnums=0),
+            jax.jit(drain_fn, donate_argnums=0), B)
+
+
+def _run_binary_stream(code: QCBinaryCode, sim: cfg.BinarySimConfig, mesh,
+                       out_dir, checkpoint, quiet) -> SweepResult:
+    init_fn, run_fn, drain_fn, B = make_binary_stream_fn(code, sim, mesh)
+    sweep = sim.sweep
+    d = sim.decoder
+    msg_cols = code.L - code.J if d.message_only else code.L
+    banner = [
+        f" code: {code!r}",
+        f" decoder: {d.schedule} "
+        f"{'min-sum' if d.rule == 'minsum' else 'sum-product (bp)'}, "
+        f"maxIT={d.max_iters}, check={d.check}"
+        f"  [STREAMING engine, {sim.stream_steps} iters/call]",
+        f" tx: {sim.tx}, noise: {sim.add_noise}, slots: {B} "
+        f"({sim.batch_per_device}/device)",
+        f" sweep: {sweep.snr_type} {sweep.snr_start}:{sweep.snr_step}:"
+        f"{sweep.snr_stop}, stop at >={sweep.least_error_frames} errors & "
+        f">={sweep.least_test_frames} frames, seed={sweep.seed}",
+    ]
+    return _run_stream("binary", code.rate, sweep,
+                       (init_fn, run_fn, drain_fn), B, 1.0,
+                       msg_cols * code.Z, code.k, banner, out_dir,
+                       checkpoint, quiet,
+                       _config_key(sim, {"kind": "binary_stream", "B": B}))
+
+
 def run_binary_sweep(sim: cfg.BinarySimConfig, mesh=None,
                      out_dir: str | None = None,
                      checkpoint: str | None = None,
@@ -466,6 +601,12 @@ def run_binary_sweep(sim: cfg.BinarySimConfig, mesh=None,
     if sim.channel == "reference":
         return _run_binary_sweep_ref(code, sim, mesh, out_dir, checkpoint,
                                      quiet)
+    if sim.engine == "stream":
+        return _run_binary_stream(code, sim, mesh, out_dir, checkpoint,
+                                  quiet)
+    if sim.engine != "batch":
+        raise ValueError(f"unknown engine {sim.engine!r} "
+                         "(expected 'batch' or 'stream')")
     fn, B = make_binary_step(code, sim, mesh)
     sweep = sim.sweep
     d = sim.decoder
@@ -1002,34 +1143,22 @@ def make_nb_stream_fn(code: NBCode, sim: cfg.NBSimConfig, mesh=None):
             jax.jit(drain_fn, donate_argnums=0), B)
 
 
-def _run_nb_stream(code: NBCode, sim: cfg.NBSimConfig, mesh, out_dir,
-                   checkpoint, quiet) -> SweepResult:
-    """Streaming-engine sweep driver: per SNR point, keep one streaming call
-    in flight (same pipelining as _run_sweep), apply the stop rule on
-    collected counters, then drain in-flight frames so the tally is
-    unbiased.  Checkpointing is point-granular (decoder state lives on
-    device); an interrupted point restarts."""
-    init_fn, run_fn, drain_fn, B = make_nb_stream_fn(code, sim, mesh)
-    sweep = sim.sweep
-    d = sim.decoder
-    _write_logo("nb", [
-        f" code: {code!r}",
-        f" decoder: {d.method}, Nm={d.nm}, Nc={d.nc}, maxIT={d.max_iters}"
-        f"  [STREAMING engine, {sim.stream_steps} iters/call]",
-        f" modulation: {'BPSK' if sim.n_qam == 2 else f'{sim.n_qam}-QAM'}, "
-        f"tx: {sim.tx}, slots: {B} ({sim.batch_per_device}/device)",
-        f" sweep: {sweep.snr_type} {sweep.snr_start}:{sweep.snr_step}:"
-        f"{sweep.snr_stop}, stop at >={sweep.least_error_frames} errors & "
-        f">={sweep.least_test_frames} frames, seed={sweep.seed}",
-    ], out_dir, quiet)
+def _run_stream(kind: str, code_rate: float, sweep: cfg.SweepConfig,
+                fns, B: int, bits_per_sym: float, units_per_frame: int,
+                info_bits_per_frame: int, banner: list[str], out_dir,
+                checkpoint, quiet, key_salt: str) -> SweepResult:
+    """Shared streaming-engine sweep driver (binary + NB): per SNR point,
+    keep one streaming call in flight (same pipelining as _run_sweep), apply
+    the stop rule on collected counters, then drain in-flight frames so the
+    tally is unbiased.  Checkpointing is point-granular (decoder state lives
+    on device); an interrupted point restarts."""
+    init_fn, run_fn, drain_fn = fns
+    _write_logo(kind, banner, out_dir, quiet)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
-    ck = _Checkpoint(checkpoint, _config_key(sim, {"kind": "nb_stream",
-                                                   "B": B}))
+    ck = _Checkpoint(checkpoint, key_salt)
     base = jax.random.fold_in(jax.random.PRNGKey(sweep.seed),
                               jax.process_index())
-    bits_per_sym = float(np.log2(sim.n_qam))
-    info_bits_per_frame = code.k_sym * code.q_bit
     rows: list[dict] = []
     drain_first = True
     for si, snr in enumerate(sweep.snr_points()):
@@ -1037,10 +1166,10 @@ def _run_nb_stream(code: NBCode, sim: cfg.NBSimConfig, mesh, out_dir,
         if done_row is not None:
             rows.append(done_row)
             continue
-        sigma = channel.sigma_from_snr(snr, code.rate, sweep.snr_type,
+        sigma = channel.sigma_from_snr(snr, code_rate, sweep.snr_type,
                                        bits_per_sym)
         pk = jax.random.fold_in(base, si)
-        stats = SnrStats(snr=snr, units_per_frame=code.n_sym)
+        stats = SnrStats(snr=snr, units_per_frame=units_per_frame)
         state = init_fn(jax.random.fold_in(pk, 0), sigma)
         next_display = sweep.display_step
         t_last = time.perf_counter()
@@ -1062,7 +1191,7 @@ def _run_nb_stream(code: NBCode, sim: cfg.NBSimConfig, mesh, out_dir,
                 stats.timed_frames += nf
             t_last = now
             if stats.frames >= next_display:
-                _emit(stats.row("nb"), stats.to_dict("nb"), out_dir, quiet)
+                _emit(stats.row(kind), stats.to_dict(kind), out_dir, quiet)
                 next_display = (stats.frames // sweep.display_step + 1) \
                     * sweep.display_step
 
@@ -1087,10 +1216,32 @@ def _run_nb_stream(code: NBCode, sim: cfg.NBSimConfig, mesh, out_dir,
         # frames still count toward FER either way (timed_frames excludes)
         consume(out, timed=not drain_first)
         drain_first = False
-        _emit(stats.row("nb"), stats.to_dict("nb"), out_dir, quiet)
-        ck.finish_point(stats, "nb")
-        rows.append(stats.to_dict("nb"))
+        _emit(stats.row(kind), stats.to_dict(kind), out_dir, quiet)
+        ck.finish_point(stats, kind)
+        rows.append(stats.to_dict(kind))
     return SweepResult(rows=rows)
+
+
+def _run_nb_stream(code: NBCode, sim: cfg.NBSimConfig, mesh, out_dir,
+                   checkpoint, quiet) -> SweepResult:
+    init_fn, run_fn, drain_fn, B = make_nb_stream_fn(code, sim, mesh)
+    sweep = sim.sweep
+    d = sim.decoder
+    banner = [
+        f" code: {code!r}",
+        f" decoder: {d.method}, Nm={d.nm}, Nc={d.nc}, maxIT={d.max_iters}"
+        f"  [STREAMING engine, {sim.stream_steps} iters/call]",
+        f" modulation: {'BPSK' if sim.n_qam == 2 else f'{sim.n_qam}-QAM'}, "
+        f"tx: {sim.tx}, slots: {B} ({sim.batch_per_device}/device)",
+        f" sweep: {sweep.snr_type} {sweep.snr_start}:{sweep.snr_step}:"
+        f"{sweep.snr_stop}, stop at >={sweep.least_error_frames} errors & "
+        f">={sweep.least_test_frames} frames, seed={sweep.seed}",
+    ]
+    return _run_stream("nb", code.rate, sweep, (init_fn, run_fn, drain_fn),
+                       B, float(np.log2(sim.n_qam)), code.n_sym,
+                       code.k_sym * code.q_bit, banner, out_dir, checkpoint,
+                       quiet, _config_key(sim, {"kind": "nb_stream",
+                                                "B": B}))
 
 
 def run_nb_sweep(sim: cfg.NBSimConfig, mesh=None, out_dir: str | None = None,

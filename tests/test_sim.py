@@ -212,3 +212,59 @@ def test_cli_nb_qspa_end_to_end(tmp_path, capsys):
     assert rc == 0
     rows = (tmp_path / "results.jsonl").read_text().strip().splitlines()
     assert rows and '"snr": 4' in rows[-1]
+
+
+def test_binary_stream_engine_runs(tmp_path):
+    """Continuous-batching binary engine: sweep completes, counters sane,
+    FER in the same regime as the batch engine at the same point."""
+    c = tiny_binary_cfg(engine="stream", stream_steps=4)
+    c.decoder.check = "syndrome"
+    res = sim.run_binary_sweep(c, out_dir=str(tmp_path), quiet=True)
+    assert len(res.rows) == 2
+    for row in res.rows:
+        assert row["frames"] >= 64
+        assert 0.0 <= row["fer"] <= 1.0
+        assert row["iter_sum"] >= 0
+    jl = [json.loads(x) for x in
+          (tmp_path / "results.jsonl").read_text().splitlines()]
+    assert jl[-1]["kind"] == "binary"
+
+
+def test_binary_stream_random_tx():
+    """Stream engine + tx='random': per-slot codewords splice on refill; at
+    high SNR everything decodes clean."""
+    import jax
+    c = tiny_binary_cfg(engine="stream", stream_steps=3, tx="random")
+    c.decoder.check = "syndrome"
+    from cuda_ldpc_tpu.models.qc_binary import QCBinaryCode
+    code = QCBinaryCode.from_registry(c.code)
+    init_fn, run_fn, drain_fn, B = sim.make_binary_stream_fn(code, c)
+    key = jax.random.PRNGKey(0)
+    st = init_fn(key, 0.35)                     # ~9 dB: error-free
+    st, c1 = run_fn(st, jax.random.fold_in(key, 1), 0.35)
+    st, c2 = drain_fn(st, jax.random.fold_in(key, 2), 0.35)
+    tot = np.asarray(c1) + np.asarray(c2)
+    assert tot[0] >= B                          # frames counted
+    assert tot[1] == 0 and tot[2] == 0          # no errors
+
+
+@pytest.mark.slow
+def test_binary_stream_fer_matches_batch():
+    """Statistical FER parity: stream vs batch engine at one SNR point."""
+    from cuda_ldpc_tpu.utils.stats import rates_compatible
+    base = dict(code="J4_L24_Z96",
+                sweep=cfg.SweepConfig(snr_start=3.2, snr_step=1.0,
+                                      snr_stop=3.2, snr_type="ebn0",
+                                      least_error_frames=60,
+                                      least_test_frames=3000,
+                                      max_frames=20000,
+                                      display_step=10**6, seed=11),
+                batch_per_device=32)
+    dec = cfg.BinaryDecoderConfig(max_iters=20, check="syndrome",
+                                  kernel="jnp")
+    rb = sim.run_binary_sweep(cfg.BinarySimConfig(
+        decoder=dec, engine="batch", **base), quiet=True).rows[0]
+    rs = sim.run_binary_sweep(cfg.BinarySimConfig(
+        decoder=dec, engine="stream", stream_steps=8, **base), quiet=True).rows[0]
+    assert rates_compatible(rb["error_frames"], rb["frames"],
+                            rs["error_frames"], rs["frames"])
