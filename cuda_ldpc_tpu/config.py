@@ -32,6 +32,10 @@ class SweepConfig:
     max_frames: int = 10_000_000      # hard cap the reference lacks
     display_step: int = 10000
     seed: int = 173                   # ix/iy/iz_define collapse to one PRNG seed
+    # streaming engines: seconds between mid-point state checkpoints (the
+    # slot state is fetched to <checkpoint>.state.npz so a killed sweep
+    # resumes mid-point with identical final statistics; sim._run_stream)
+    stream_ckpt_s: float = 60.0
 
     def snr_points(self) -> list[float]:
         pts = []

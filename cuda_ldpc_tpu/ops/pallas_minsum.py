@@ -128,13 +128,16 @@ def _frame_ok(T_ref, code: QCBinaryCode, check: str, tile_b: int):
 
 
 def _cn_phase(T_ref, R_ref, code: QCBinaryCode, alpha: float, beta: float,
-              tile_b: int, layered: bool, rule: str = "minsum"):
+              tile_b: int, layered: bool, rule: str = "minsum", cont=None):
     """CN update for every block row: two-min + sign-product (rule='minsum',
     mirrors minsum._cn_minsum) or exact sum-product in the stable phi domain
     (rule='bp', mirrors minsum._cn_bp — the reference's declared-but-never-
     implemented decoder_method=1, bldpc_实习/define.cuh:33-34).  Flooding reads
     v2c = T - R and only rewrites R; layered additionally applies the message
-    delta to the running totals row by row (mirrors minsum.decode_layered)."""
+    delta to the running totals row by row (mirrors minsum.decode_layered).
+    ``cont`` ([TB, 1] bool or None): per-frame freeze mask — writes keep the
+    old value where ~cont (the stream engine's per-slot freezing; the batch
+    kernels pass None and update every frame like the reference)."""
     L, Z = code.L, code.Z
     edges = code.edges
     lanes = R_ref.shape[-1]        # Z rounded up to a 128 multiple
@@ -193,9 +196,13 @@ def _cn_phase(T_ref, R_ref, code: QCBinaryCode, alpha: float, beta: float,
             out = jnp.where(flip, -out, out)
             new_col = _roll(out, s, Z)
             if layered:
-                T_ref[l] = (T_ref[l].astype(dtype) + new_col
-                            - R_ref[e].astype(dtype)).astype(store)
-            R_ref[e] = new_col.astype(store)
+                new_t = (T_ref[l].astype(dtype) + new_col
+                         - R_ref[e].astype(dtype)).astype(store)
+                T_ref[l] = (new_t if cont is None
+                            else jnp.where(cont, new_t, T_ref[l]))
+            new_r = new_col.astype(store)
+            R_ref[e] = (new_r if cont is None
+                        else jnp.where(cont, new_r, R_ref[e]))
 
 
 def _zero_outputs(hard_ref, ok_ref, iters_ref, tile_b: int):

@@ -141,13 +141,16 @@ class _Checkpoint:
             return cur
         return None
 
-    def save(self, stats: SnrStats | None, batch_idx: int, units: int):
+    def save(self, stats: SnrStats | None, batch_idx: int, units: int,
+             extra: dict | None = None):
         if not self.path:
             return
         if stats is not None:
             d = dataclasses.asdict(stats)
-            self.state["current"] = {"stats": d, "batch_idx": batch_idx,
-                                     "units": units}
+            cur = {"stats": d, "batch_idx": batch_idx, "units": units}
+            if extra:
+                cur.update(extra)
+            self.state["current"] = cur
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self.state, f)
@@ -473,15 +476,22 @@ def make_binary_stream_fn(code: QCBinaryCode, sim: cfg.BinarySimConfig,
     Pallas kernels decode whole calls and cannot refill per iteration; see
     ops/pallas_minsum_stream for the fused stream step)."""
     dec = sim.decoder
-    if dec.kernel == "pallas":
-        raise ValueError("engine='stream' drives the per-iteration jnp "
-                         "core; use kernel='auto' or 'jnp'")
     if sim.tx == "random" and dec.check == "zero":
         raise ValueError("tx='random' needs check='syndrome'")
     if dec.check == "none":
         raise ValueError("engine='stream' needs a per-frame check "
                          "('zero' or 'syndrome')")
     mesh = mesh or get_mesh()
+    from cuda_ldpc_tpu.ops import pallas_minsum
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = (dec.kernel == "pallas"
+                  or (dec.kernel == "auto" and on_tpu
+                      and mesh.devices.size == 1
+                      and pallas_minsum.supports(code)))
+    if use_pallas:
+        if not pallas_minsum.supports(code):
+            raise ValueError(f"pallas kernel unsupported for {code.name}")
+        return _make_binary_stream_pallas(code, sim, mesh)
     B = sim.batch_per_device * mesh.devices.size
     shard = batch_sharding(mesh, 3)
     core = minsum.build_core(code, rule=dec.rule, schedule=dec.schedule,
@@ -563,6 +573,107 @@ def make_binary_stream_fn(code: QCBinaryCode, sim: cfg.BinarySimConfig,
         state, counters, _, _ = jax.lax.fori_loop(0, max_it + 1,
                                                   _inner(False), val)
         return state, counters
+
+    return (jax.jit(init_fn), jax.jit(run_fn, donate_argnums=0),
+            jax.jit(drain_fn, donate_argnums=0), B)
+
+
+def _make_binary_stream_pallas(code: QCBinaryCode, sim: cfg.BinarySimConfig,
+                               mesh):
+    """Fused stream engine: the stateful Pallas step
+    (ops/pallas_minsum_stream.stream_step) runs ``stream_steps`` fused
+    iterations per call against persistent [E, B, Zp] message state in HBM;
+    the driver counts the slots that finished and re-seeds only their
+    channel columns (the kernel zeroes their messages on the way out).
+    Single device only (the state is not mesh-sharded)."""
+    from cuda_ldpc_tpu.ops import pallas_minsum_stream
+    from cuda_ldpc_tpu.ops.pallas_minsum import _lane_pad
+    dec = sim.decoder
+    tile_b = 8
+    B = sim.batch_per_device
+    if B % tile_b:
+        raise ValueError(f"stream batch must be a multiple of {tile_b}")
+    Zp = _lane_pad(code.Z)
+    msg_cols = code.L - code.J if dec.message_only else code.L
+    enc = None
+    if sim.tx == "random":
+        from cuda_ldpc_tpu.models.encoder import BinaryEncoder
+        enc = BinaryEncoder.from_code(code)
+    llr_scale = ((lambda chan, sigma: chan * (2.0 / (sigma * sigma)))
+                 if dec.rule == "bp" else (lambda chan, sigma: chan))
+    max_it = dec.max_iters
+    layered = dec.schedule == "layered"
+    step = functools.partial(
+        pallas_minsum_stream.stream_step, code=code, k=sim.stream_steps,
+        max_iters=max_it, alpha=dec.alpha, beta=dec.beta, check=dec.check,
+        rule=dec.rule, layered=layered, tile_b=tile_b)
+    drain_step = functools.partial(
+        pallas_minsum_stream.stream_step, code=code, k=max_it + 1,
+        max_iters=max_it, alpha=dec.alpha, beta=dec.beta, check=dec.check,
+        rule=dec.rule, layered=layered, tile_b=tile_b)
+
+    def fresh(key, sigma):
+        """(chan [L, B, Zp] zero-padded, cw [L, B, Z] int8)."""
+        if enc is None:
+            cw = jnp.zeros((code.L, B, code.Z), jnp.int8)
+            x = jnp.ones((code.L, B, code.Z), jnp.float32)
+        else:
+            kmsg, key = jax.random.split(key)
+            msg = jax.random.bernoulli(
+                kmsg, 0.5, (B, enc.k_eff)).astype(jnp.float32)
+            cwf = enc.encode_jax(msg).reshape(B, code.L, code.Z)
+            cwf = cwf.astype(jnp.float32).transpose(1, 0, 2)
+            cw = cwf.astype(jnp.int8)
+            x = 1.0 - 2.0 * cwf
+        if sim.add_noise:
+            chan = x + sigma * jax.random.normal(key, x.shape,
+                                                 dtype=jnp.float32)
+        else:
+            chan = x
+        chan = llr_scale(chan, sigma)
+        if Zp != code.Z:
+            chan = jnp.pad(chan, ((0, 0), (0, 0), (0, Zp - code.Z)))
+        return chan, cw
+
+    def init_fn(key, sigma):
+        chan, cw = fresh(key, sigma)
+        z = jnp.zeros((B, 128), jnp.int32)
+        return (chan, jnp.zeros((code.num_edges, B, Zp), jnp.float32),
+                z, z, z, cw)
+
+    def _count(hard, cw, t2, d2, o2):
+        dvec = d2[:, 0] == 1                          # [B]
+        okvec = o2[:, 0] == 1
+        errs = (hard[:msg_cols, :, :code.Z].astype(jnp.int32)
+                != cw[:msg_cols].astype(jnp.int32))
+        errbits = jnp.sum(errs, axis=(0, 2))          # [B]
+        has_err = errbits > 0
+        di = dvec.astype(jnp.int32)
+        return jnp.stack([
+            jnp.sum(di),
+            jnp.sum(di * has_err.astype(jnp.int32)),
+            jnp.sum(di * errbits),
+            jnp.sum(di * (has_err & okvec).astype(jnp.int32)),
+            jnp.sum(di * (~has_err & ~okvec).astype(jnp.int32)),
+            jnp.sum(di * t2[:, 0])])
+
+    def run_fn(state, key, sigma):
+        chan, R, t, done, okf, cw = state
+        chan2, R2, hard, t2, d2, o2 = step(chan, R, t, done, okf)
+        counters = _count(hard, cw, t2, d2, o2)
+        nchan, ncw = fresh(key, sigma)
+        dm = (d2[:, 0] == 1)[None, :, None]
+        chan3 = jnp.where(dm, nchan, chan2)
+        cw3 = jnp.where(dm, ncw, cw)
+        keep = (d2 == 0).astype(jnp.int32)
+        return (chan3, R2, t2 * keep, jnp.zeros_like(d2),
+                jnp.zeros_like(o2), cw3), counters
+
+    def drain_fn(state, key, sigma):
+        chan, R, t, done, okf, cw = state
+        chan2, R2, hard, t2, d2, o2 = drain_step(chan, R, t, done, okf)
+        counters = _count(hard, cw, t2, d2, o2)
+        return (chan2, R2, t2, d2, o2, cw), counters
 
     return (jax.jit(init_fn), jax.jit(run_fn, donate_argnums=0),
             jax.jit(drain_fn, donate_argnums=0), B)
@@ -1143,6 +1254,9 @@ def make_nb_stream_fn(code: NBCode, sim: cfg.NBSimConfig, mesh=None):
             jax.jit(drain_fn, donate_argnums=0), B)
 
 
+_STREAM_TEST_INTERRUPT: int | None = None   # tests: raise after N consumes
+
+
 def _run_stream(kind: str, code_rate: float, sweep: cfg.SweepConfig,
                 fns, B: int, bits_per_sym: float, units_per_frame: int,
                 info_bits_per_frame: int, banner: list[str], out_dir,
@@ -1150,17 +1264,27 @@ def _run_stream(kind: str, code_rate: float, sweep: cfg.SweepConfig,
     """Shared streaming-engine sweep driver (binary + NB): per SNR point,
     keep one streaming call in flight (same pipelining as _run_sweep), apply
     the stop rule on collected counters, then drain in-flight frames so the
-    tally is unbiased.  Checkpointing is point-granular (decoder state lives
-    on device); an interrupted point restarts."""
+    tally is unbiased.
+
+    Mid-point checkpointing: every ``sweep.stream_ckpt_s`` seconds the
+    on-device slot state is fetched and persisted (<checkpoint>.state.npz)
+    together with the collected stats, the NEXT call index, and the one
+    in-flight call's counters.  A resumed sweep continues the exact call/key
+    sequence, so kill + resume reproduces the uninterrupted run's final
+    statistics bit-for-bit (no started frame is ever dropped — dropping the
+    in-flight call's finished frames would censor fast frames and bias FER
+    low)."""
     init_fn, run_fn, drain_fn = fns
     _write_logo(kind, banner, out_dir, quiet)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
     ck = _Checkpoint(checkpoint, key_salt)
+    spath = (checkpoint + ".state.npz") if checkpoint else None
     base = jax.random.fold_in(jax.random.PRNGKey(sweep.seed),
                               jax.process_index())
     rows: list[dict] = []
     drain_first = True
+    consumed_calls = 0
     for si, snr in enumerate(sweep.snr_points()):
         done_row = ck.done_rows().get(f"{snr:g}")
         if done_row is not None:
@@ -1171,9 +1295,25 @@ def _run_stream(kind: str, code_rate: float, sweep: cfg.SweepConfig,
         pk = jax.random.fold_in(base, si)
         stats = SnrStats(snr=snr, units_per_frame=units_per_frame)
         state = init_fn(jax.random.fold_in(pk, 0), sigma)
-        next_display = sweep.display_step
+        ci0 = 1
+        pending0 = None
+        cur = ck.current(snr)
+        if cur and cur.get("stream_ci") and spath and os.path.exists(spath):
+            # restore: stats + next call index + in-flight counters + the
+            # slot state (leaves spliced into a template from init_fn)
+            stats = SnrStats.from_checkpoint(cur["stats"])
+            ci0 = cur["stream_ci"]
+            with np.load(spath) as d:
+                pending0 = jnp.asarray(d["pending"])
+                leaves = [jnp.asarray(d[f"leaf{i}"])
+                          for i in range(d["nleaves"])]
+            tdef = jax.tree_util.tree_structure(state)
+            state = jax.tree_util.tree_unflatten(tdef, leaves)
         t_last = time.perf_counter()
-        first = True
+        t_ckpt = t_last
+        first = True           # first consume absorbs (re)compile; untimed
+        next_display = (stats.frames // sweep.display_step + 1) \
+            * sweep.display_step
 
         def consume(out, timed=True):
             nonlocal t_last, next_display
@@ -1195,14 +1335,35 @@ def _run_stream(kind: str, code_rate: float, sweep: cfg.SweepConfig,
                 next_display = (stats.frames // sweep.display_step + 1) \
                     * sweep.display_step
 
-        pending = None
-        ci = 1
+        def save_stream(pending_now, ci_now):
+            if not spath:
+                return
+            leaves = jax.tree_util.tree_leaves(state)
+            arrs = {f"leaf{i}": np.asarray(x) for i, x in enumerate(leaves)}
+            tmp = spath + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez(f, pending=np.asarray(pending_now),
+                         nleaves=len(leaves), **arrs)
+            os.replace(tmp, spath)
+            ck.save(stats, 0, units_per_frame, extra={"stream_ci": ci_now})
+
+        pending = pending0
+        ci = ci0
         while True:
             state, out = run_fn(state, jax.random.fold_in(pk, ci), sigma)
             ci += 1
             if pending is not None:
                 consume(pending, timed=not first)
                 first = False
+                consumed_calls += 1
+                if (_STREAM_TEST_INTERRUPT is not None
+                        and consumed_calls >= _STREAM_TEST_INTERRUPT):
+                    save_stream(out, ci)
+                    raise KeyboardInterrupt("stream test interrupt")
+                now = time.perf_counter()
+                if now - t_ckpt >= sweep.stream_ckpt_s:
+                    save_stream(out, ci)
+                    t_ckpt = now
             pending = out
             if ((stats.error_frames >= sweep.least_error_frames
                  and stats.frames >= sweep.least_test_frames)
@@ -1218,6 +1379,8 @@ def _run_stream(kind: str, code_rate: float, sweep: cfg.SweepConfig,
         drain_first = False
         _emit(stats.row(kind), stats.to_dict(kind), out_dir, quiet)
         ck.finish_point(stats, kind)
+        if spath and os.path.exists(spath):
+            os.remove(spath)           # state consumed; drop the stale npz
         rows.append(stats.to_dict(kind))
     return SweepResult(rows=rows)
 

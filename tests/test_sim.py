@@ -268,3 +268,34 @@ def test_binary_stream_fer_matches_batch():
         decoder=dec, engine="stream", stream_steps=8, **base), quiet=True).rows[0]
     assert rates_compatible(rb["error_frames"], rb["frames"],
                             rs["error_frames"], rs["frames"])
+
+
+def test_stream_midpoint_checkpoint_resume(tmp_path):
+    """Kill the streaming engine mid-point; resume reproduces the
+    uninterrupted run's final statistics exactly (same call/key sequence,
+    restored slot state, in-flight counters preserved)."""
+    def cfg_nb():
+        return cfg.NBSimConfig(
+            code="BDS.576.288.GF.64", batch_per_device=8, engine="stream",
+            stream_steps=3,
+            decoder=cfg.NBDecoderConfig(method="qspa", max_iters=8,
+                                        kernel="jnp"),
+            sweep=cfg.SweepConfig(snr_start=2.0, snr_step=1.0, snr_stop=2.0,
+                                  least_error_frames=3,
+                                  least_test_frames=400, max_frames=2000,
+                                  display_step=10**6, seed=5,
+                                  stream_ckpt_s=10**9))
+    ref = sim.run_nb_sweep(cfg_nb(), quiet=True).rows[0]
+    ckpt = str(tmp_path / "ck.json")
+    sim._STREAM_TEST_INTERRUPT = 2
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            sim.run_nb_sweep(cfg_nb(), checkpoint=ckpt, quiet=True)
+    finally:
+        sim._STREAM_TEST_INTERRUPT = None
+    assert os.path.exists(ckpt + ".state.npz")
+    res = sim.run_nb_sweep(cfg_nb(), checkpoint=ckpt, quiet=True).rows[0]
+    for k in ("frames", "error_frames", "error_units", "iter_sum",
+              "false_frames", "alarm_frames"):
+        assert res[k] == ref[k], (k, res[k], ref[k])
+    assert not os.path.exists(ckpt + ".state.npz")   # cleaned after finish

@@ -1,0 +1,130 @@
+"""Mosaic-compiled kernel parity vs the jnp paths, ON THE REAL DEVICE.
+
+The interpret-mode tests in tests/ prove kernel math on CPU; the only checks
+that a real Mosaic compile matches the oracle are slow-marked pytest tests
+that the conftest's forced-CPU backend always skips.  This tool runs those
+checks as a standalone device job (VERDICT r3 item 7): one line per kernel
+with exact-match status, plus the documented layered avgIT drift tolerance
+(matmul accumulation order; tests/test_pallas_qspa.py:119).
+
+Run each round; paste the table into VALIDATION.md:
+
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/device_parity.py
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+
+def _report(name, got, ref, iter_tol=0):
+    hard_ok = bool(np.array_equal(np.asarray(got.hard), np.asarray(ref.hard)))
+    ok_ok = bool(np.array_equal(np.asarray(got.ok), np.asarray(ref.ok)))
+    di = np.asarray(got.iters).astype(int) - np.asarray(ref.iters).astype(int)
+    it_exact = bool((di == 0).all())
+    it_tol = bool((np.abs(di) <= iter_tol).all())
+    row = {"kernel": name, "hard_exact": hard_ok, "ok_exact": ok_ok,
+           "iters_exact": it_exact,
+           "iters_within_tol": it_tol, "iter_tol": iter_tol,
+           "drift_frames": int((di != 0).sum()), "frames": int(di.size),
+           "pass": hard_ok and ok_ok and (it_exact or it_tol)}
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def binary_cases():
+    from cuda_ldpc_tpu.models.qc_binary import QCBinaryCode
+    from cuda_ldpc_tpu.ops import channel, minsum, pallas_minsum
+    rows = []
+    for name, snr in (("J15_L30_Z1280", 2.2), ("J10_L60_Z160", 3.0)):
+        code = QCBinaryCode.from_registry(name)
+        sigma = channel.sigma_from_snr(snr, code.rate, "ebn0")
+        chan = 1.0 + sigma * jax.random.normal(
+            jax.random.PRNGKey(5), (32, code.L, code.Z), dtype=np.float32)
+        for sched, pfn, jfn in (
+                ("flooding", pallas_minsum.decode_flooding,
+                 minsum.decode_flooding),
+                ("layered", pallas_minsum.decode_layered,
+                 minsum.decode_layered)):
+            got = jax.jit(lambda x, f=pfn: f(x, code, 12, check="zero"))(chan)
+            ref = jax.jit(lambda x, f=jfn: f(x, code, 12, check="zero"))(chan)
+            # (binary iters is a batch-global scalar; _report handles it)
+            rows.append(_report(f"pallas_minsum/{sched}/{name}", got, ref))
+    return rows
+
+
+def nb_cases():
+    from cuda_ldpc_tpu.models.nb_code import NBCode
+    from cuda_ldpc_tpu.ops import channel, demod, nb_decode, pallas_qspa
+    from cuda_ldpc_tpu.utils.constellations import constellation
+    rows = []
+    cases = [("BDS.576.288.GF.64", 2.0, 64, "astack"),
+             ("LDPC_N96_K48_GF256_d1_exp", 3.0, 64, "logrot"),
+             ("LDPC_N576_K480_GF256_exp", 4.0, 32, "logrot")]
+    for name, snr, B, scheme in cases:
+        code = NBCode.from_registry(name)
+        sigma = channel.sigma_from_snr(snr, code.rate, "ebn0", 1.0)
+        tx = np.zeros(code.bit_length, dtype=np.int64)
+        L = demod.nb_channel_llr(jax.random.PRNGKey(7), tx, constellation(2),
+                                 sigma, batch=B, q=code.q)
+        for meth, fn in (("qspa", pallas_qspa.decode_flooding),
+                         ("layered_qspa", pallas_qspa.decode_layered)):
+            got = jax.jit(lambda x, f=fn: f(x, code, 20))(L)
+            ref = jax.jit(lambda x, m=meth: nb_decode.decode(x, code, m,
+                                                             20))(L)
+            tol = 1 if meth == "layered_qspa" else 0
+            rows.append(_report(f"pallas_qspa[{scheme}]/{meth}/{name}",
+                                got, ref, iter_tol=tol))
+    return rows
+
+
+def qc_cases():
+    from cuda_ldpc_tpu.models.nb_code import NBCode
+    from cuda_ldpc_tpu.ops import channel, demod, nb_decode, pallas_qspa_qc
+    from cuda_ldpc_tpu.utils.constellations import constellation
+    code = NBCode.from_registry("Tanner_74_9_Z128_GF16")
+    sigma = channel.sigma_from_snr(4.5, code.rate, "ebn0", 1.0)
+    tx = np.zeros(code.bit_length, dtype=np.int64)
+    L = demod.nb_channel_llr(jax.random.PRNGKey(3), tx, constellation(2),
+                             sigma, batch=8, q=code.q)
+    rows = []
+    for meth, fn in (("qspa", pallas_qspa_qc.decode_flooding),
+                     ("glayered_qspa", pallas_qspa_qc.decode_layered)):
+        got = jax.jit(lambda x, f=fn: f(x, code, 10))(L)
+        ref = jax.jit(lambda x, m=meth: nb_decode.decode(x, code, m, 10))(L)
+        rows.append(_report(f"pallas_qspa_qc/{meth}/Tanner_74_9_Z128_GF16",
+                            got, ref, iter_tol=1))
+    return rows
+
+
+def main():
+    print(f"# device parity run, backend={jax.default_backend()}, "
+          f"{time.strftime('%Y-%m-%d %H:%M')}", flush=True)
+    if jax.default_backend() == "cpu":
+        print("WARNING: running on CPU — this validates nothing about "
+              "Mosaic; run on the TPU.", flush=True)
+    rows = []
+    groups = [("binary", binary_cases), ("nb", nb_cases), ("qc", qc_cases)]
+    for gname, g in groups:
+        try:
+            rows += g()
+        except Exception as e:
+            msg = str(e).splitlines()[0][:200]
+            row = {"kernel": f"{gname}/*", "pass": False, "error": msg}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    npass = sum(1 for r in rows if r.get("pass"))
+    print(f"# {npass}/{len(rows)} kernels pass", flush=True)
+    return 0 if npass == len(rows) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
