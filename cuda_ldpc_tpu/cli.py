@@ -46,6 +46,9 @@ def _add_sweep_args(p, d: cfg.SweepConfig):
     p.add_argument("--checkpoint", default=None,
                    help="JSON checkpoint path for resumable sweeps")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="wrap one steady-state batch per SNR point in "
+                        "jax.profiler.trace(DIR) (batch engines)")
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() so the mesh spans "
                         "every host's devices (run one process per host)")
@@ -103,6 +106,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto")
     b.add_argument("--msg-dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    b.add_argument("--engine", choices=["batch", "stream"], default=bd.engine,
+                   help="stream: continuous batching — finished frames leave "
+                        "their slot immediately (fused stateful kernel on "
+                        "TPU; see sim.make_binary_stream_fn)")
+    b.add_argument("--stream-steps", type=int, default=bd.stream_steps,
+                   help="decoder iterations per streaming call")
     _add_sweep_args(b, bd.sweep)
 
     n = sub.add_parser("nb", help="non-binary GF(q) LDPC FER sweep")
@@ -123,7 +132,9 @@ def build_parser() -> argparse.ArgumentParser:
     n.add_argument("--n-qam", type=int, default=nd.n_qam,
                    choices=[2, 64, 256])
     n.add_argument("--batch", type=int, default=nd.batch_per_device)
-    n.add_argument("--tx", choices=["zero", "fixture"], default=nd.tx)
+    n.add_argument("--tx", choices=["zero", "fixture", "random"],
+                   default=nd.tx,
+                   help="random: device NBEncoder, fresh codeword per frame")
     n.add_argument("--packed", action="store_true",
                    help="run all SNR points concurrently in packed batches")
     n.add_argument("--engine", choices=["batch", "stream"], default=nd.engine,
@@ -166,7 +177,8 @@ def main(argv=None) -> int:
                 kernel=args.kernel, msg_dtype=args.msg_dtype),
             sweep=_sweep_from(args, cfg.BinarySimConfig().sweep),
             batch_per_device=args.batch, add_noise=not args.no_noise,
-            tx=args.tx, channel=args.channel)
+            tx=args.tx, channel=args.channel, engine=args.engine,
+            stream_steps=args.stream_steps)
         if args.packed:
             res = simmod.run_binary_sweep_packed(simcfg, out_dir=args.out_dir,
                                                  checkpoint=args.checkpoint,
@@ -174,7 +186,8 @@ def main(argv=None) -> int:
         else:
             res = simmod.run_binary_sweep(simcfg, out_dir=args.out_dir,
                                           checkpoint=args.checkpoint,
-                                          quiet=args.quiet)
+                                          quiet=args.quiet,
+                                          profile_dir=args.profile)
     else:
         simcfg = cfg.NBSimConfig(
             code=args.code,
@@ -194,7 +207,8 @@ def main(argv=None) -> int:
         else:
             res = simmod.run_nb_sweep(simcfg, out_dir=args.out_dir,
                                       checkpoint=args.checkpoint,
-                                      quiet=args.quiet)
+                                      quiet=args.quiet,
+                                      profile_dir=args.profile)
     return 0
 
 

@@ -200,7 +200,8 @@ def _run_sweep(kind: str, sweep: cfg.SweepConfig, units_per_frame: int,
                info_bits_per_frame: int, batch: int,
                step: Callable, out_dir: str | None, checkpoint: str | None,
                key_salt: str, quiet: bool,
-               pipeline: bool = True) -> SweepResult:
+               pipeline: bool = True,
+               profile_dir: str | None = None) -> SweepResult:
     """Shared sweep loop.  ``step(snr_idx, batch_idx, sigma)`` LAUNCHES one
     batch (async jax dispatch) and returns a zero-arg ``collect`` that blocks
     and returns ``(n_frames, err_frames, err_units, iter_sum, false_f,
@@ -260,6 +261,21 @@ def _run_sweep(kind: str, sweep: cfg.SweepConfig, units_per_frame: int,
                         and stats.frames >= sweep.least_test_frames)
                        or stats.frames >= sweep.max_frames)
             nxt = None
+            if not stopped and profile_dir is not None and batch_idx == 1:
+                # trace ONE steady-state batch per point (batch 0 absorbed
+                # the compile), launch+fetch synchronously inside the trace
+                # (SURVEY section 5 tracing row).  The traced batch's wall
+                # time includes profiler overhead; diagnostic mode only.
+                tdir = os.path.join(profile_dir, f"{kind}_snr{snr:g}")
+                try:
+                    with jax.profiler.trace(tdir):
+                        consume(step(si, batch_idx, snr))
+                except Exception as e:  # relay may not support profiling
+                    if not quiet:
+                        print(f"[profile] trace failed: {e}", flush=True)
+                    consume(step(si, batch_idx, snr))
+                batch_idx += 1
+                continue
             if not stopped:
                 nxt = step(si, batch_idx, snr)
                 batch_idx += 1
@@ -707,7 +723,8 @@ def _run_binary_stream(code: QCBinaryCode, sim: cfg.BinarySimConfig, mesh,
 def run_binary_sweep(sim: cfg.BinarySimConfig, mesh=None,
                      out_dir: str | None = None,
                      checkpoint: str | None = None,
-                     quiet: bool = False) -> SweepResult:
+                     quiet: bool = False,
+                     profile_dir: str | None = None) -> SweepResult:
     code = QCBinaryCode.from_registry(sim.code)
     if sim.channel == "reference":
         return _run_binary_sweep_ref(code, sim, mesh, out_dir, checkpoint,
@@ -758,7 +775,8 @@ def run_binary_sweep(sim: cfg.BinarySimConfig, mesh=None,
     key_salt = _config_key(sim, {"kind": "binary", "B": B,
                                  "backend": jax.default_backend()})
     return _run_sweep("binary", sweep, msg_cols * code.Z, code.k, B, step,
-                      out_dir, checkpoint, key_salt, quiet)
+                      out_dir, checkpoint, key_salt, quiet,
+                      profile_dir=profile_dir)
 
 
 def _run_binary_sweep_ref(code, sim: cfg.BinarySimConfig, mesh, out_dir,
@@ -1409,7 +1427,8 @@ def _run_nb_stream(code: NBCode, sim: cfg.NBSimConfig, mesh, out_dir,
 
 def run_nb_sweep(sim: cfg.NBSimConfig, mesh=None, out_dir: str | None = None,
                  checkpoint: str | None = None,
-                 quiet: bool = False) -> SweepResult:
+                 quiet: bool = False,
+                 profile_dir: str | None = None) -> SweepResult:
     code = NBCode.from_registry(sim.code)
     if sim.engine == "stream":
         return _run_nb_stream(code, sim, mesh, out_dir, checkpoint, quiet)
@@ -1449,4 +1468,4 @@ def run_nb_sweep(sim: cfg.NBSimConfig, mesh=None, out_dir: str | None = None,
     key_salt = _config_key(sim, {"kind": "nb", "B": B})
     return _run_sweep("nb", sweep, code.n_sym,
                       code.k_sym * code.q_bit, B, step, out_dir, checkpoint,
-                      key_salt, quiet)
+                      key_salt, quiet, profile_dir=profile_dir)
