@@ -177,22 +177,16 @@ def _perm_inv(x, h_onehot):
                       preferred_element_type=x.dtype)
 
 
-def _xor_outer(x: jax.Array) -> jax.Array:
-    """x[..., i] -> out[..., i, j] = x[..., i ^ j], gather-free.
-
-    Built by log2(q) doubling steps: column block j ^ 2^b is column block j
-    with index bit b of i flipped, and flipping a constant bit is a static
-    block swap (reshape + flip + concat)."""
+def _xor_shift_const(x: jax.Array, j: int) -> jax.Array:
+    """x[..., y] -> x[..., y ^ j] for a COMPILE-TIME constant j: pure static
+    block swaps (reshape + flip per set bit), no selects, no gathers."""
     q = x.shape[-1]
-    out = x[..., :, None]                       # [..., q(i), 1]
     for b in range(q.bit_length() - 1):
-        stride = 1 << b
-        shape = out.shape
-        xr = out.reshape(shape[:-2] + (q // (2 * stride), 2, stride,
-                                       shape[-1]))
-        sw = jnp.flip(xr, axis=-3).reshape(shape)
-        out = jnp.concatenate([out, sw], axis=-1)
-    return out                                  # [..., q(i), q(j)]
+        if (j >> b) & 1:
+            stride = 1 << b
+            xr = x.reshape(x.shape[:-1] + (q // (2 * stride), 2, stride))
+            x = jnp.flip(xr, axis=-2).reshape(x.shape)
+    return x
 
 
 def _xor_shift(x: jax.Array, s: jax.Array) -> jax.Array:
@@ -437,7 +431,7 @@ def _qspa_cn_core(v2c_cn, mask, h_onehot, had, dc: int, q: int,
 # TMM check-node core (min domain)
 # --------------------------------------------------------------------------
 
-def _tmm_cn_core(v2c_cn, mask, h_perm, h_onehot, xor_table, dc: int, q: int):
+def _tmm_cn_core(v2c_cn, mask, h_perm, h_onehot, dc: int, q: int):
     """One TMM CN update on min-domain messages [B, M', dc, q] (VN symbol
     domain).  Mirrors d_TMM_Get_Zn / Get_deltaU / Get_Min / ConstructConf and
     the I/E path-select output with x0.8 damping
@@ -471,20 +465,31 @@ def _tmm_cn_core(v2c_cn, mask, h_perm, h_onehot, xor_table, dc: int, q: int):
 
     # 2-deviation search over (j, k=i^j): cand = max(min1[j], min1[k]), valid
     # when the two min columns differ and the values differ (the reference's
-    # strict-inequality branches skip exact ties, :793-811)
-    m1j = min1[:, :, None, :]                            # [B, M', 1, q(j)]
-    m1k = jnp.take(min1, xor_table, axis=-1)             # [B, M', q(i), q(j)]
-    cj = col[:, :, None, :]
-    ck = jnp.take(col, xor_table, axis=-1)
-    ii = jnp.arange(q, dtype=jnp.int32)[:, None]
-    jj = jnp.arange(q, dtype=jnp.int32)[None, :]
-    valid = (cj != ck) & (m1j != m1k) & (ii != jj)[None, None]
-    cand = jnp.where(valid, jnp.maximum(m1j, m1k), POS)
-    I2 = jnp.min(cand, axis=-1)                          # [B, M', q(i)]
-    jstar = jnp.argmin(cand, axis=-1).astype(jnp.int32)
-    kstar = jnp.bitwise_xor(jnp.arange(q, dtype=jnp.int32), jstar)
-    p1_2 = jnp.take_along_axis(col, jstar, axis=-1)
-    p2_2 = jnp.take_along_axis(col, kstar, axis=-1)
+    # strict-inequality branches skip exact ties, :793-811).
+    #
+    # TPU-first form: an unrolled running min over j with CONSTANT xor
+    # shifts.  The one-shot formulation materialized [B, M', q, q] candidate
+    # tensors in HBM every iteration plus q-lane gathers — measured as the
+    # reason the TMM family sat at ~600 frames/s while QSPA ran 37k
+    # (BENCH.md); here every intermediate is [B, M', q] and XLA fuses the
+    # whole scan.  Results are bit-identical: same candidate values, and the
+    # strict `cand < I2` update keeps the FIRST minimizing j exactly like
+    # jnp.argmin's first-tie rule.
+    lane = jnp.arange(q, dtype=jnp.int32)
+    I2 = jnp.full(min1.shape, POS)
+    p1_2 = jnp.zeros_like(col)
+    p2_2 = jnp.zeros_like(col)
+    for j in range(q):
+        vj = min1[..., j:j + 1]                          # [B, M', 1]
+        cjv = col[..., j:j + 1]
+        mk = _xor_shift_const(min1, j)                   # min1[i ^ j]
+        ckv = _xor_shift_const(col, j)
+        valid = (cjv != ckv) & (vj != mk) & (lane != j)
+        cand = jnp.where(valid, jnp.maximum(vj, mk), POS)
+        better = cand < I2
+        I2 = jnp.where(better, cand, I2)
+        p1_2 = jnp.where(better, jnp.broadcast_to(cjv, col.shape), p1_2)
+        p2_2 = jnp.where(better, ckv, p2_2)
 
     use2 = I2 < min1
     I = jnp.where(use2, I2, min1)
@@ -581,8 +586,7 @@ def build_core(code: NBCode, method: str, nm: int = 2,
         def step(carry, llr, cont):
             llr_state, c2v = carry
             v2c = llr[:, g.cn_links] - c2v
-            new = _tmm_cn_core(v2c, mask, h_perm, h_onehot, xor_table,
-                               g.dc, g.q)
+            new = _tmm_cn_core(v2c, mask, h_perm, h_onehot, g.dc, g.q)
             return (_freeze(cont, llr, llr_state), _freeze(cont, new, c2v))
 
         return DecoderCore(g, init, decide, step)
@@ -623,8 +627,7 @@ def build_core(code: NBCode, method: str, nm: int = 2,
                 mm = rmask[None, :, :, None]
                 if tmm:
                     rh = jnp.asarray(g.h_perm[rows])
-                    new = _tmm_cn_core(v2c, rmask, rh, roh, xor_table,
-                                       g.dc, g.q)
+                    new = _tmm_cn_core(v2c, rmask, rh, roh, g.dc, g.q)
                     delta = jnp.where(mm, v2c + new - llr_rows, 0.0)
                 else:
                     new = _qspa_cn_core(v2c, rmask, roh, had, g.dc, g.q)
@@ -669,7 +672,7 @@ def build_core(code: NBCode, method: str, nm: int = 2,
                 if tmm:
                     rh = jax.lax.dynamic_index_in_dim(h_perm, m)     # [1, dc, q]
                     new = _tmm_cn_core(v2c[:, None], rmask, rh, roh,
-                                       xor_table, g.dc, g.q)[:, 0]
+                                       g.dc, g.q)[:, 0]
                     # scatter-add a masked delta: pad edges (links pointing
                     # at VN 0) contribute 0, so duplicates stay well-defined
                     delta = jnp.where(rmask[0][None, :, None],

@@ -176,7 +176,7 @@ def _build_plan(code: NBCode):
 
 def _vmem_bytes(plan: _QCPlan, tile_b: int) -> int:
     blk = plan.q * tile_b * plan.Z * 4
-    state = blk * (2 * plan.NB + plan.EB)            # T + hardoh + C
+    state = blk * (plan.NB + plan.EB)                # T + C scratch
     state += blk * plan.NB * 2                       # chan in, double-buffered
     state += plan.ibits.nbytes + plan.hv.nbytes
     state += plan.NB * tile_b * plan.Z * 4 * 2       # hard out (+ buffer)
@@ -240,26 +240,30 @@ def _softmax_q(x):
     return e / _rtree(e, jnp.add)
 
 
-def _decide_onehot(t, symc):
-    """One-hot argmax over the leading (log-ordered) q axis with the jnp
-    path's tie rule: among maxima, the smallest SYMBOL VALUE wins (jnp.argmax
-    over natural order picks the first = smallest symbol)."""
+def _decide_sym(t, symc):
+    """Hard SYMBOL decision [1, TB, Z] (f32) from log-ordered totals with the
+    jnp path's tie rule: among maxima, the smallest SYMBOL VALUE wins
+    (jnp.argmax over natural order picks the first = smallest symbol)."""
     q = t.shape[0]
     mx = _rtree(t, jnp.maximum)
     cand = jnp.where(t == mx, symc, float(q))
-    best = _rtree(cand, jnp.minimum)
-    return jnp.where(symc == best, 1.0, 0.0)
+    return _rtree(cand, jnp.minimum)
 
 
-def _syndrome_viol(plan: _QCPlan, hardoh, hv_ref, tile_b: int):
-    """[TB, 1] count of violated check rows from frozen one-hot decisions.
-    Row z of block-row r: xor over block edges of h_z * sym(x_hat) with
-    x_hat read at lane (z + s) % Z — the circulant roll."""
+def _syndrome_viol(plan: _QCPlan, hard_ref, hv_ref, symc, tile_b: int):
+    """[TB, 1] count of violated check rows from the frozen symbol decisions
+    in hard_ref ([1, NB, TB, Z] int32).  Row z of block-row r: xor over
+    block edges of h_z * x_hat with x_hat read at lane (z + s) % Z — the
+    circulant roll.  The one-hot is rebuilt on the fly from the symbol
+    values (keeping a [NB, q, TB, Z] one-hot scratch blew the VMEM budget
+    by ~400 KB at tile_b=2)."""
     viol = jnp.zeros((tile_b, 1), jnp.int32)
     for row in plan.row_edges:
         syn = jnp.zeros((tile_b, plan.Z), jnp.int32)
         for eid, c, s in row:
-            oh = pltpu.roll(hardoh[c], (-s) % plan.Z, axis=2) if s else hardoh[c]
+            h = hard_ref[0, c].astype(jnp.float32)[None]        # [1, TB, Z]
+            oh = jnp.where(h == symc, 1.0, 0.0)                 # [q, TB, Z]
+            oh = pltpu.roll(oh, (-s) % plan.Z, axis=2) if s else oh
             contrib = _rtree(oh * hv_ref[eid], jnp.add)[0]      # [TB, Z]
             syn = jnp.bitwise_xor(syn, contrib.astype(jnp.int32))
         viol += jnp.sum((syn != 0).astype(jnp.int32), axis=1, keepdims=True)
@@ -320,7 +324,7 @@ def _cn_row_update(row, T_ref, C_ref, H, ibits_ref, plan: _QCPlan, cont,
 
 
 def _kernel(chan_ref, H_ref, ibits_ref, hv_ref, symc_ref,
-            hard_ref, ok_ref, iters_ref, T_ref, C_ref, OH_ref, *,
+            hard_ref, ok_ref, iters_ref, T_ref, C_ref, *,
             plan: _QCPlan, num_iters: int, early_stop: bool, tile_b: int,
             layered: bool):
     NB, q, Z = plan.NB, plan.q, plan.Z
@@ -328,11 +332,8 @@ def _kernel(chan_ref, H_ref, ibits_ref, hv_ref, symc_ref,
     symc = symc_ref[...].reshape(q, 1, 1)
 
     for c in range(NB):
-        OH_ref[c] = jnp.where(symc == 0.0, 1.0,
-                              jnp.zeros((q, tile_b, Z), jnp.float32))
+        hard_ref[0, c] = jnp.zeros((tile_b, Z), jnp.int32)
     if num_iters <= 0:           # mirror nb_decode._run with max_iters=0
-        for c in range(NB):
-            hard_ref[0, c] = jnp.zeros((tile_b, Z), jnp.int32)
         ok_ref[0] = jnp.zeros((tile_b, 128), jnp.int32)
         iters_ref[0] = jnp.zeros((tile_b, 128), jnp.int32)
         return
@@ -352,11 +353,11 @@ def _kernel(chan_ref, H_ref, ibits_ref, hv_ref, symc_ref,
                     x = x + r
                 T_ref[c] = x
         active = done == 0                           # [TB, 1]
-        act3 = active.reshape(1, tile_b, 1)
+        act2 = jnp.broadcast_to(active, (tile_b, Z))
         for c in range(NB):
-            oh = _decide_onehot(T_ref[c], symc)
-            OH_ref[c] = jnp.where(act3, oh, OH_ref[c])
-        viol = _syndrome_viol(plan, OH_ref, hv_ref, tile_b)
+            sym_val = _decide_sym(T_ref[c], symc)[0].astype(jnp.int32)
+            hard_ref[0, c] = jnp.where(act2, sym_val, hard_ref[0, c])
+        viol = _syndrome_viol(plan, hard_ref, hv_ref, symc, tile_b)
         ok_pass = viol == 0
         iters = jnp.where(active, jnp.where(ok_pass, t, t + 1), iters)
         done = jnp.where(ok_pass, 1, done)
@@ -377,9 +378,6 @@ def _kernel(chan_ref, H_ref, ibits_ref, hv_ref, symc_ref,
     it0 = jnp.zeros((tile_b, 1), jnp.int32)
     _, done, iters = jax.lax.while_loop(cond, body,
                                         (jnp.int32(0), done0, it0))
-    for c in range(NB):
-        sym_val = _rtree(OH_ref[c] * symc, jnp.add)[0]       # [TB, Z]
-        hard_ref[0, c] = sym_val.astype(jnp.int32)
     ok_ref[0] = jnp.broadcast_to(done, (tile_b, 128))
     iters_ref[0] = jnp.broadcast_to(iters, (tile_b, 128))
 
@@ -442,7 +440,6 @@ def _decode(L_ch: jax.Array, code: NBCode, num_iters: int, layered: bool,
         scratch_shapes=[
             pltpu.VMEM((plan.NB, q, tile_b, plan.Z), jnp.float32),   # totals
             pltpu.VMEM((plan.EB, q, tile_b, plan.Z), jnp.float32),   # c2v
-            pltpu.VMEM((plan.NB, q, tile_b, plan.Z), jnp.float32),   # hard 1-hot
         ],
         interpret=interpret,
     )(chan, jnp.asarray(plan.Hlog), jnp.asarray(plan.ibits),
