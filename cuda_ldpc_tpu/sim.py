@@ -834,35 +834,49 @@ def make_binary_packed_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
     shard = batch_sharding(mesh, 3, axis_pos=1 if col else 0)
     msg_cols = code.L - code.J if dec_cfg.message_only else code.L
     dtype = jnp.dtype(dec_cfg.msg_dtype)
+    enc = None
+    if sim.tx == "random":
+        from cuda_ldpc_tpu.models.encoder import BinaryEncoder
+        enc = BinaryEncoder.from_code(code)
+        if dec_cfg.check == "zero":
+            raise ValueError("tx='random' needs check='syndrome'")
 
     def step(key, sigma_vec, pid_vec):
         bp = dec_cfg.rule == "bp"     # sum-product needs true LLRs 2y/sigma^2
         scale_vec = 2.0 / (sigma_vec * sigma_vec) if bp else None
-        if col:                       # native [L, B, Z] layout (see BENCH.md)
-            noise = jax.random.normal(key, (code.L, B, code.Z),
-                                      dtype=jnp.float32)
-            chan = 1.0 + sigma_vec[None, :, None] * noise  # all-zero codeword
-            if bp:
-                chan = chan * scale_vec[None, :, None]
+        if enc is None:
+            cw = None                 # all-zero codeword, x = +1 everywhere
+            if col:                   # native [L, B, Z] layout (see BENCH.md)
+                x = jnp.ones((code.L, B, code.Z), jnp.float32)
+            else:
+                x = jnp.ones((B, code.L, code.Z), jnp.float32)
         else:
-            noise = jax.random.normal(key, (B, code.L, code.Z),
-                                      dtype=jnp.float32)
-            chan = 1.0 + sigma_vec[:, None, None] * noise
-            if bp:
-                chan = chan * scale_vec[:, None, None]
+            kmsg, key = jax.random.split(key)
+            msg = jax.random.bernoulli(
+                kmsg, 0.5, (B, enc.k_eff)).astype(jnp.float32)
+            cw = enc.encode_jax(msg).reshape(B, code.L, code.Z)
+            cw = cw.astype(jnp.float32)
+            if col:
+                cw = cw.transpose(1, 0, 2)
+            x = 1.0 - 2.0 * cw
+        noise = jax.random.normal(key, x.shape, dtype=jnp.float32)
+        sv = sigma_vec[None, :, None] if col else sigma_vec[:, None, None]
+        chan = x + sv * noise
+        if bp:
+            chan = chan * (scale_vec[None, :, None] if col
+                           else scale_vec[:, None, None])
         chan = jax.lax.with_sharding_constraint(chan, shard)
+        res = decode(chan, code, dec_cfg.max_iters, alpha=dec_cfg.alpha,
+                     beta=dec_cfg.beta, check=dec_cfg.check,
+                     msg_dtype=dtype, **({"col_major": True} if col else {}))
         if col:
-            res = decode(chan, code, dec_cfg.max_iters, alpha=dec_cfg.alpha,
-                         beta=dec_cfg.beta, check=dec_cfg.check,
-                         msg_dtype=dtype, col_major=True)
-            errbits = jnp.sum(res.hard[:msg_cols].astype(jnp.int32),
-                              axis=(0, 2))
+            h = res.hard[:msg_cols].astype(jnp.int32)
+            ref = 0 if cw is None else cw[:msg_cols].astype(jnp.int32)
+            errbits = jnp.sum((h != ref).astype(jnp.int32), axis=(0, 2))
         else:
-            res = decode(chan, code, dec_cfg.max_iters, alpha=dec_cfg.alpha,
-                         beta=dec_cfg.beta, check=dec_cfg.check,
-                         msg_dtype=dtype)
-            errbits = jnp.sum(res.hard[:, :msg_cols].astype(jnp.int32),
-                              axis=(1, 2))
+            h = res.hard[:, :msg_cols].astype(jnp.int32)
+            ref = 0 if cw is None else cw[:, :msg_cols].astype(jnp.int32)
+            errbits = jnp.sum((h != ref).astype(jnp.int32), axis=(1, 2))
         has_err = errbits > 0
         frame_err = (has_err | ~res.ok).astype(jnp.int32)
         false_f = (has_err & res.ok).astype(jnp.int32)
@@ -968,10 +982,8 @@ def run_binary_sweep_packed(sim: cfg.BinarySimConfig, mesh=None,
                             out_dir: str | None = None,
                             checkpoint: str | None = None,
                             quiet: bool = False) -> SweepResult:
-    """Run ALL SNR points of a binary sweep concurrently in packed batches."""
-    if sim.tx != "zero":
-        raise NotImplementedError("packed sweep currently uses the all-zero "
-                                  "codeword (like the reference)")
+    """Run ALL SNR points of a binary sweep concurrently in packed batches
+    (tx='zero' like the reference, or 'random' via the device encoder)."""
     code = QCBinaryCode.from_registry(sim.code)
     sweep = sim.sweep
     points = sweep.snr_points()

@@ -299,3 +299,15 @@ def test_stream_midpoint_checkpoint_resume(tmp_path):
               "false_frames", "alarm_frames"):
         assert res[k] == ref[k], (k, res[k], ref[k])
     assert not os.path.exists(ckpt + ".state.npz")   # cleaned after finish
+
+
+def test_binary_packed_random_tx(tmp_path):
+    """Packed multi-SNR sweep with tx='random' (the restriction the batch
+    engine lifted in round 4): encoded frames, syndrome check, sane stats."""
+    c = tiny_binary_cfg(tx="random")
+    c.decoder.check = "syndrome"
+    res = sim.run_binary_sweep_packed(c, out_dir=str(tmp_path), quiet=True)
+    assert len(res.rows) == 2
+    for row in res.rows:
+        assert row["frames"] >= 64
+        assert 0.0 <= row["fer"] <= 1.0
