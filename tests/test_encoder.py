@@ -124,3 +124,29 @@ def test_nb_random_tx_stream_smoke():
     c = np.asarray(c1) + np.asarray(c2)
     assert c[0] >= B                 # every slot finished at least one frame
     assert c[1] == 0 and c[2] == 0   # error-free at ~10.5 dB
+
+
+@pytest.mark.slow
+def test_nb_random_tx_fer_matches_zero_tx():
+    """Linearity: FER with random encoded codewords is statistically
+    identical to the all-zero transmission (the binary side proved the same
+    in round 2; this is the NB criterion for tx='random')."""
+    from cuda_ldpc_tpu import config as cfg
+    from cuda_ldpc_tpu import sim as simmod
+    from cuda_ldpc_tpu.utils.stats import rates_compatible
+
+    base = dict(code="BDS.576.288.GF.64", batch_per_device=16,
+                decoder=cfg.NBDecoderConfig(method="layered_qspa",
+                                            max_iters=12, kernel="jnp"),
+                sweep=cfg.SweepConfig(snr_start=1.4, snr_step=1.0,
+                                      snr_stop=1.4, least_error_frames=60,
+                                      least_test_frames=2000,
+                                      max_frames=12000,
+                                      display_step=10**6, seed=31))
+    rz = simmod.run_nb_sweep(cfg.NBSimConfig(tx="zero", **base),
+                             quiet=True).rows[0]
+    rr = simmod.run_nb_sweep(cfg.NBSimConfig(tx="random", **base),
+                             quiet=True).rows[0]
+    assert rr["error_frames"] > 0
+    assert rates_compatible(rz["error_frames"], rz["frames"],
+                            rr["error_frames"], rr["frames"])
