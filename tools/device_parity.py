@@ -71,8 +71,16 @@ def binary_cases():
                  minsum.decode_flooding),
                 ("layered", pallas_minsum.decode_layered,
                  minsum.decode_layered)):
-            got = jax.jit(lambda x, f=pfn: f(x, code, 12, check="zero"))(chan)
-            ref = jax.jit(lambda x, f=jfn: f(x, code, 12, check="zero"))(chan)
+            # check='syndrome': ok means the WHOLE codeword satisfies H x=0,
+            # so a hard mismatch between two ok frames would mean the two
+            # paths converged to different codewords (a real bug); the
+            # reference's 'zero' check only constrains message bits, which
+            # let benign parity-region drift read as a converged-frame
+            # mismatch
+            got = jax.jit(lambda x, f=pfn: f(x, code, 12,
+                                             check="syndrome"))(chan)
+            ref = jax.jit(lambda x, f=jfn: f(x, code, 12,
+                                             check="syndrome"))(chan)
             # (binary iters is a batch-global scalar; _report handles it)
             rows.append(_report(f"pallas_minsum/{sched}/{name}", got, ref))
     return rows
