@@ -311,3 +311,16 @@ def test_binary_packed_random_tx(tmp_path):
     for row in res.rows:
         assert row["frames"] >= 64
         assert 0.0 <= row["fer"] <= 1.0
+
+
+def test_profile_dir_traces_one_batch(tmp_path):
+    """--profile DIR: one traced steady-state batch per SNR point (and the
+    sweep's statistics are unaffected by the tracing path)."""
+    prof = tmp_path / "trace"
+    res = sim.run_binary_sweep(tiny_binary_cfg(), quiet=True,
+                               profile_dir=str(prof))
+    assert len(res.rows) == 2 and res.rows[0]["frames"] >= 64
+    produced = list(prof.rglob("*")) if prof.exists() else []
+    # jax.profiler works on CPU; if a backend ever refuses, the driver
+    # degrades gracefully (consumes the batch untraced) — rows above prove it
+    assert prof.exists() and len(produced) > 0
