@@ -28,9 +28,9 @@ def main() -> int:
     platform = jax.devices()[0].platform
     # Per-call dispatch through the device runtime costs ~25-30 ms flat, so
     # throughput is batch-amortized: B=256 -> 0.18 Gb/s, B=8192 -> 1.8 Gb/s,
-    # B=16384 -> 2.16 Gb/s, B=32768 -> 2.36 Gb/s synchronous / 2.6 Gb/s
+    # B=16384 -> 2.16 Gb/s, B=32768 -> 2.36 Gb/s synchronous / 2.7 Gb/s
     # pipelined (marginal cost ~6-7 us/frame; B=49152 pipelined measures the
-    # same 2.6 Gb/s, i.e. the pipeline fully hides dispatch at 32768 already).
+    # same number, i.e. the pipeline fully hides dispatch at 32768 already).
     # 32768 fits in ~12.5 GB of the 16 GB HBM with the two col-major channel
     # buffers below plus two in-flight hard outputs (no transpose temp); the
     # reference's own batch is 4096 (define.cuh:60).

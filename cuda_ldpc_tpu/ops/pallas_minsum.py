@@ -127,6 +127,10 @@ def _frame_ok(T_ref, code: QCBinaryCode, check: str, tile_b: int):
     return jnp.zeros((tile_b, 1), jnp.bool_)
 
 
+_SIGNBIT = np.int32(-2**31)        # 0x80000000: IEEE f32 sign-bit mask
+_MAGBITS = np.int32(0x7FFFFFFF)
+
+
 def _cn_phase(T_ref, R_ref, code: QCBinaryCode, alpha: float, beta: float,
               tile_b: int, layered: bool, rule: str = "minsum", cont=None):
     """CN update for every block row: two-min + sign-product (rule='minsum',
@@ -137,7 +141,17 @@ def _cn_phase(T_ref, R_ref, code: QCBinaryCode, alpha: float, beta: float,
     delta to the running totals row by row (mirrors minsum.decode_layered).
     ``cont`` ([TB, 1] bool or None): per-frame freeze mask — writes keep the
     old value where ~cont (the stream engine's per-slot freezing; the batch
-    kernels pass None and update every frame like the reference)."""
+    kernels pass None and update every frame like the reference).
+
+    Sign handling is bitwise on the IEEE sign bit (the kernel is VPU-op-bound
+    — BENCH.md roofline — so every saved op is throughput): per-edge sign =
+    ``bitcast(q) & 0x80000000``, sign product = XOR of the masks, and the
+    output sign is OR'd onto the non-negative magnitude, replacing the
+    compare + negate + select of the +-1 formulation.  Bit-identical to
+    minsum._cn_minsum/_cn_bp for every input except an exact -0.0 message
+    (sign bit set but ``-0.0 < 0`` is False), which cannot arise from the
+    continuous channel: q = T - R is +0.0 whenever T == R under
+    round-to-nearest."""
     L, Z = code.L, code.Z
     edges = code.edges
     lanes = R_ref.shape[-1]        # Z rounded up to a 128 multiple
@@ -147,7 +161,7 @@ def _cn_phase(T_ref, R_ref, code: QCBinaryCode, alpha: float, beta: float,
     half = jnp.asarray(0.5, dtype)
     for j in range(code.J):
         idx = code.row_edges[j]
-        negs = []
+        signs = []                 # per-edge [TB, lanes] i32: sign bit of q
         if rule == "bp":
             # phi(x) = -log(tanh(x/2)) per edge; clip exactly like minsum._cn_bp
             # so interpret-mode parity with the jnp path is bit-exact
@@ -157,12 +171,22 @@ def _cn_phase(T_ref, R_ref, code: QCBinaryCode, alpha: float, beta: float,
                 l, s = int(edges[e, 1]), int(edges[e, 2])
                 q = T_ref[l].astype(dtype) - R_ref[e].astype(dtype)
                 q = _roll(q, -s, Z)
-                negs.append(q < 0)
-                mag = jnp.clip(jnp.abs(q), 1.4e-7, 34.0)
+                w = pltpu.bitcast(q, jnp.int32)
+                signs.append(w & _SIGNBIT)
+                mag = pltpu.bitcast(w & _MAGBITS, dtype)  # == |q|, bit-exact
+                mag = jnp.clip(mag, 1.4e-7, 34.0)
                 ph = -jnp.log(jnp.tanh(mag * half))
                 phs.append(ph)
                 ph_sum = ph_sum + ph
         else:
+            # Running two-min with argmin-slot tracking.  A min/max sorting
+            # network (m2' = min(m2, max(m1, mag)) with the min edge
+            # recovered by ``mag == m1`` in the emit pass — provably
+            # bit-exact even under ties, since tied mins force m2 == m1)
+            # would save the compare + slot select, but measured SLOWER on
+            # device (2677 vs 2719 Mb/s): holding all dc magnitudes live
+            # across both passes raises VMEM register pressure, the same
+            # effect as the prefix/suffix-min ablation (BENCH.md).
             m1 = jnp.full((tile_b, lanes), big, dtype)
             m2 = jnp.full((tile_b, lanes), big, dtype)
             am = jnp.zeros((tile_b, lanes), jnp.int32)
@@ -170,17 +194,17 @@ def _cn_phase(T_ref, R_ref, code: QCBinaryCode, alpha: float, beta: float,
                 l, s = int(edges[e, 1]), int(edges[e, 2])
                 q = T_ref[l].astype(dtype) - R_ref[e].astype(dtype)
                 q = _roll(q, -s, Z)
-                neg = q < 0
-                mag = jnp.abs(q)
+                w = pltpu.bitcast(q, jnp.int32)
+                mag = pltpu.bitcast(w & _MAGBITS, dtype)  # == |q|, bit-exact
                 newmin = mag < m1
                 m2 = jnp.where(newmin, m1, jnp.minimum(m2, mag))
                 am = jnp.where(newmin, slot, am)
                 m1 = jnp.minimum(m1, mag)
-                negs.append(neg)
-        # sign product as XOR of sign masks (cheaper than +-1 multiplies)
-        tot = negs[0]
-        for neg in negs[1:]:
-            tot = jnp.logical_xor(tot, neg)
+                signs.append(w & _SIGNBIT)
+        # sign product as XOR of the sign-bit masks
+        tot = signs[0]
+        for sb in signs[1:]:
+            tot = jnp.bitwise_xor(tot, sb)
         for slot, e in enumerate(idx):
             l, s = int(edges[e, 1]), int(edges[e, 2])
             if rule == "bp":
@@ -192,8 +216,11 @@ def _cn_phase(T_ref, R_ref, code: QCBinaryCode, alpha: float, beta: float,
                 out = jnp.maximum(out - jnp.asarray(beta, dtype), 0)
             if alpha != 1.0:
                 out = out * jnp.asarray(alpha, dtype)
-            flip = jnp.logical_xor(tot, negs[slot])
-            out = jnp.where(flip, -out, out)
+            # out >= +0.0 here, so OR-ing the product^edge sign bit onto its
+            # bits is exactly where(sign_prod*sign_e < 0, -out, out)
+            out = pltpu.bitcast(
+                pltpu.bitcast(out, jnp.int32)
+                | jnp.bitwise_xor(tot, signs[slot]), dtype)
             new_col = _roll(out, s, Z)
             if layered:
                 new_t = (T_ref[l].astype(dtype) + new_col

@@ -179,6 +179,16 @@ def _vmem_bytes(plan: _Plan, tile_b: int) -> int:
 
 def pick_tile_b(code: NBCode, budget: int = 10 << 20) -> int:
     plan = make_plan(code)
+    # Empirical Mosaic-stack cap (measured 2026-08-20): the logrot scheme on
+    # the high-degree GF(256) code (LDPC_N576_K480_GF256_exp, E=144, dc=12)
+    # needs 22.24 MB of scoped VMEM at tile 16 — ~3x the state model below —
+    # because the unrolled per-row CN temporaries (lane-rotated spectra,
+    # leave-one-out products) stay live across the row loop.  tile 8
+    # compiles and is device-exact; the low-degree GF(256) code (E=24,
+    # dc=4) compiles fine at tile 128.  Cap high-degree logrot plans at 8.
+    dc_max = max(len(row) for row in plan.row_edges)
+    if plan.scheme == "logrot" and dc_max > 8:
+        return 8
     for tb in (128, 64, 32, 16, 8):
         if _vmem_bytes(plan, tb) <= budget:
             return tb
