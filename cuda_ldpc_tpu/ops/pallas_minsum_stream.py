@@ -51,17 +51,27 @@ def _body_accounting(ok_f, t, done, okf, max_iters: int):
     return t, done, okf, cont
 
 
-def _stream_kernel(chan_ref, Rin_ref, tin_ref, din_ref, oin_ref,
-                   chanout_ref, Rout_ref, hard_ref, tout_ref, dout_ref,
-                   oout_ref, T_ref, *, code: QCBinaryCode, k: int,
+def _stream_kernel(chan_ref, Rin_hbm, tin_ref, din_ref, oin_ref,
+                   chanout_ref, Rout_hbm, hard_ref, tout_ref, dout_ref,
+                   oout_ref, T_ref, Rv_ref, sem_in, sem_out, *,
+                   code: QCBinaryCode, k: int,
                    max_iters: int, alpha: float, beta: float, check: str,
                    rule: str, tile_b: int, layered: bool):
+    """The persistent c2v state R stays in HBM (memory_space=ANY) and each
+    grid step DMAs only ITS tile slice into the single Rv scratch copy.
+    Routing R through blocked in/out specs instead would hold FOUR VMEM
+    copies of the [E, tile_b, Zp] tile (in x2 + out x2 double buffering) —
+    measured 24.44 MB of scoped VMEM on J15_L30_Z1280 (device OOM)."""
     L = code.L
-    Rout_ref[...] = Rin_ref[...]
+    i = pl.program_id(0)
+    sl = pl.ds(i * tile_b, tile_b)
+    dma_in = pltpu.make_async_copy(Rin_hbm.at[:, sl, :], Rv_ref, sem_in)
+    dma_in.start()
     if layered:
         # chan carries the RUNNING TOTALS state for the layered schedule
         # (fresh slots are seeded with the channel LLRs = initial totals)
         T_ref[...] = chan_ref[...]
+    dma_in.wait()
 
     def body(state):
         it, t, done, okf = state
@@ -69,11 +79,11 @@ def _stream_kernel(chan_ref, Rin_ref, tin_ref, din_ref, oin_ref,
             for l in range(L):
                 x = chan_ref[l].astype(jnp.float32)
                 for e in code.col_edges[l]:
-                    x = x + Rout_ref[e].astype(jnp.float32)
+                    x = x + Rv_ref[e].astype(jnp.float32)
                 T_ref[l] = x
         ok_f = _frame_ok(T_ref, code, check, tile_b)          # [TB, 1]
         t, done, okf, cont = _body_accounting(ok_f, t, done, okf, max_iters)
-        _cn_phase(T_ref, Rout_ref, code, alpha, beta, tile_b,
+        _cn_phase(T_ref, Rv_ref, code, alpha, beta, tile_b,
                   layered=layered, rule=rule, cont=cont[:, 0:1])
         return it + 1, t, done, okf
 
@@ -94,7 +104,9 @@ def _stream_kernel(chan_ref, Rin_ref, tin_ref, din_ref, oin_ref,
     for e in range(code.num_edges):
         # finished slots leave with zeroed messages so the driver's refill
         # never has to rewrite the [E, B, Zp] state
-        Rout_ref[e] = jnp.where(dmask, 0.0, Rout_ref[e])
+        Rv_ref[e] = jnp.where(dmask, 0.0, Rv_ref[e])
+    dma_out = pltpu.make_async_copy(Rv_ref, Rout_hbm.at[:, sl, :], sem_out)
+    dma_out.start()
     if layered:
         chanout_ref[...] = T_ref[...]
     else:
@@ -102,6 +114,7 @@ def _stream_kernel(chan_ref, Rin_ref, tin_ref, din_ref, oin_ref,
     tout_ref[...] = t
     dout_ref[...] = done
     oout_ref[...] = okf
+    dma_out.wait()
 
 
 def stream_step(chan, R, t, done, okf, code: QCBinaryCode, k: int,
@@ -136,8 +149,7 @@ def stream_step(chan, R, t, done, okf, code: QCBinaryCode, k: int,
         in_specs=[
             pl.BlockSpec((L, tile_b, Zp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((code.num_edges, tile_b, Zp), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # R state: manual DMA
             pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
@@ -148,8 +160,7 @@ def stream_step(chan, R, t, done, okf, code: QCBinaryCode, k: int,
         out_specs=[
             pl.BlockSpec((L, tile_b, Zp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((code.num_edges, tile_b, Zp), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # R state: manual DMA
             pl.BlockSpec((L, tile_b, Zp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
@@ -169,6 +180,9 @@ def stream_step(chan, R, t, done, okf, code: QCBinaryCode, k: int,
         ],
         scratch_shapes=[
             pltpu.VMEM((L, tile_b, Zp), jnp.float32),     # VN totals
+            pltpu.VMEM((code.num_edges, tile_b, Zp), jnp.float32),  # R tile
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
         ],
         input_output_aliases={0: 0, 1: 1},
         interpret=interpret,

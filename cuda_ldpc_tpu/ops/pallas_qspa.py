@@ -179,17 +179,23 @@ def _vmem_bytes(plan: _Plan, tile_b: int) -> int:
 
 def pick_tile_b(code: NBCode, budget: int = 10 << 20) -> int:
     plan = make_plan(code)
-    # Empirical Mosaic-stack cap (measured 2026-08-20): the logrot scheme on
-    # the high-degree GF(256) code (LDPC_N576_K480_GF256_exp, E=144, dc=12)
-    # needs 22.24 MB of scoped VMEM at tile 16 — ~3x the state model below —
-    # because the unrolled per-row CN temporaries (lane-rotated spectra,
-    # leave-one-out products) stay live across the row loop.  tile 8
-    # compiles and is device-exact; the low-degree GF(256) code (E=24,
-    # dc=4) compiles fine at tile 128.  Cap high-degree logrot plans at 8.
-    dc_max = max(len(row) for row in plan.row_edges)
-    if plan.scheme == "logrot" and dc_max > 8:
-        return 8
-    for tb in (128, 64, 32, 16, 8):
+    # Empirical Mosaic-stack caps (measured 2026-08-20): the logrot scheme's
+    # unrolled per-row CN temporaries (lane-rotated spectra, leave-one-out
+    # products) live on the scoped-VMEM stack outside the state model below.
+    # Measured on device: LDPC_N576_K480_GF256_exp (E=144, dc=12) needs
+    # 22.24 MB at tile 16 (tile 8 compiles, device-exact); the low-degree
+    # LDPC_N96_K48_GF256_d1_exp (E=24, dc=4) fits at tile 128 only when the
+    # grid is a single step — a multi-tile grid double-buffers the in/out
+    # blocks and overflows by 0.8 MB (16.83 MB at B=1024).  Cap logrot at
+    # tile 64, and high-degree (dc > 8) logrot at tile 8.
+    if plan.scheme == "logrot":
+        dc_max = max(len(row) for row in plan.row_edges)
+        if dc_max > 8:
+            return 8
+        tiles = (64, 32, 16, 8)
+    else:
+        tiles = (128, 64, 32, 16, 8)
+    for tb in tiles:
         if _vmem_bytes(plan, tb) <= budget:
             return tb
     return 8

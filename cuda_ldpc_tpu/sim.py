@@ -1084,6 +1084,16 @@ def _nb_decoder_fn(code: NBCode, dec: cfg.NBDecoderConfig, n_devices: int = 1):
         # flooding + serial-row layered schedules
         if dec.method in ("qspa", "layered_qspa"):
             ok = pallas_qspa.supports(code)
+            # Measured exception (BENCH.md round 4): on the tiny logrot
+            # code (N96_K48 GF256: E*q = 6144) XLA's own fusion beats the
+            # fused kernel for FLOODING (36.6k vs 25.5k f/s) — the whole
+            # state is ~3 MB and the kernel's grid serialization costs more
+            # than VMEM residency saves.  Layered still wins fused (39.1k
+            # vs 34.5k).  'auto' keeps jnp there; --kernel pallas forces.
+            if ok and auto_ok and dec.method == "qspa":
+                plan = pallas_qspa.make_plan(code)
+                if plan.scheme == "logrot" and plan.E * code.q <= 8192:
+                    ok = False
             if ok and (want == "pallas" or auto_ok):
                 base = (pallas_qspa.decode_layered
                         if dec.method == "layered_qspa"
