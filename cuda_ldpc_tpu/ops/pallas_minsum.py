@@ -92,7 +92,7 @@ def supports(code: QCBinaryCode) -> bool:
     """Z % 128 == 0 runs at full lane efficiency; other Z >= 64 run with
     padded lanes (Z=96 -> 128, Z=160 -> 256: 75%/63% lane efficiency, still
     ~an order of magnitude over the jnp path).  Tiny-Z codes stay on jnp."""
-    return code.Z % 128 == 0 or code.Z >= 64
+    return code.Z >= 64
 
 
 def _frame_ok(T_ref, code: QCBinaryCode, check: str, tile_b: int):

@@ -149,7 +149,7 @@ def stream_step(chan, R, t, done, okf, code: QCBinaryCode, k: int,
         in_specs=[
             pl.BlockSpec((L, tile_b, Zp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # R state: manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),      # R state: manual DMA
             pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
@@ -160,7 +160,7 @@ def stream_step(chan, R, t, done, okf, code: QCBinaryCode, k: int,
         out_specs=[
             pl.BlockSpec((L, tile_b, Zp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # R state: manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),      # R state: manual DMA
             pl.BlockSpec((L, tile_b, Zp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
