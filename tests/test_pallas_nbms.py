@@ -1,0 +1,69 @@
+"""Fused EMS / TMM / layered-TMM kernels (interpret mode on CPU) vs the jnp
+decoders — bit-exact hard/ok/iters parity (VERDICT-r4 items 3-4).
+
+The jnp decoders are themselves oracle-tested against the loop-level NumPy
+spec (tests/test_nb_decode.py), so exact parity here chains the kernels to
+the reference semantics (myNBLDPC/src/LDPC_Decoder.cpp:172-359, 361-817)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_ldpc_tpu.models.nb_code import NBCode
+from cuda_ldpc_tpu.ops import demod, nb_decode, pallas_nbms
+from cuda_ldpc_tpu.utils.constellations import constellation
+
+
+def _llr(code, B, sigma, seed=0):
+    tx = np.zeros(code.bit_length, dtype=np.int64)
+    return demod.nb_channel_llr(jax.random.PRNGKey(seed), tx,
+                                constellation(2), sigma, batch=B, q=code.q)
+
+
+CODES = ["BDS.576.288.GF.64", "LDPC_N576_K288_GF64_d1_exp"]
+
+
+@pytest.mark.parametrize("name", CODES[:1])
+@pytest.mark.parametrize("method,fused", [
+    ("ems", pallas_nbms.decode_ems),
+    ("tmm", pallas_nbms.decode_tmm),
+    ("layered_tmm", pallas_nbms.decode_layered_tmm),
+])
+def test_fused_matches_jnp(name, method, fused):
+    code = NBCode.from_registry(name)
+    assert pallas_nbms.supports(code)
+    B, it = 8, 4
+    L = _llr(code, B, sigma=0.9, seed=5)
+    got = fused(L, code, it, tile_b=8, interpret=True)
+    ref = nb_decode.decode(L, code, method, it, nm=2, nc=2)
+    np.testing.assert_array_equal(np.asarray(got.hard), np.asarray(ref.hard))
+    np.testing.assert_array_equal(np.asarray(got.ok), np.asarray(ref.ok))
+    np.testing.assert_array_equal(np.asarray(got.iters),
+                                  np.asarray(ref.iters))
+
+
+def test_fused_ems_converging_point():
+    """Lower noise: most frames converge early — exercises the freeze path
+    and the iters-on-entry accounting."""
+    code = NBCode.from_registry("BDS.576.288.GF.64")
+    B, it = 8, 6
+    L = _llr(code, B, sigma=0.72, seed=7)
+    got = pallas_nbms.decode_ems(L, code, it, tile_b=8, interpret=True)
+    ref = nb_decode.decode(L, code, "ems", it, nm=2, nc=2)
+    assert int(np.asarray(ref.ok).sum()) > 0      # the point of this test
+    np.testing.assert_array_equal(np.asarray(got.hard), np.asarray(ref.hard))
+    np.testing.assert_array_equal(np.asarray(got.ok), np.asarray(ref.ok))
+    np.testing.assert_array_equal(np.asarray(got.iters),
+                                  np.asarray(ref.iters))
+
+
+def test_supports_gates():
+    gf64 = NBCode.from_registry("BDS.576.288.GF.64")
+    assert pallas_nbms.supports(gf64)
+    assert not pallas_nbms.supports(gf64, nm=3, nc=2)    # only the committed
+    assert not pallas_nbms.supports(gf64, nm=2, nc=3)    # Nm=2/Nc=2 shape
+    gf256 = NBCode.from_registry("LDPC_N96_K48_GF256_d1_exp")
+    assert not pallas_nbms.supports(gf256)               # q > 64
+    tanner = NBCode.from_registry("Tanner_74_9_Z128_GF16")
+    assert not pallas_nbms.supports(tanner)              # E over unroll cap

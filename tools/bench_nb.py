@@ -74,6 +74,15 @@ def bench_methods(args) -> list[dict]:
                       if method == "pallas_qc_glayered"
                       else pallas_qspa_qc.decode_flooding)
                 r = fn(L, code, args.max_iters)
+            elif method in ("pallas_ems", "pallas_tmm",
+                            "pallas_layered_tmm"):
+                # fused max-domain kernels (ops/pallas_nbms)
+                from cuda_ldpc_tpu.ops import pallas_nbms
+                fn = {"pallas_ems": pallas_nbms.decode_ems,
+                      "pallas_tmm": pallas_nbms.decode_tmm,
+                      "pallas_layered_tmm": pallas_nbms.decode_layered_tmm
+                      }[method]
+                r = fn(L, code, args.max_iters)
             elif method.startswith("pallas_"):
                 # fused VMEM-resident kernels (ops/pallas_qspa)
                 from cuda_ldpc_tpu.ops import pallas_qspa
@@ -126,7 +135,8 @@ def bench_engine(args) -> list[dict]:
             code=args.code,
             decoder=cfg.NBDecoderConfig(method=args.method,
                                         max_iters=args.max_iters,
-                                        nm=args.nm, nc=args.nc),
+                                        nm=args.nm, nc=args.nc,
+                                        kernel=args.kernel),
             sweep=cfg.SweepConfig(
                 snr_start=args.snr, snr_step=1.0, snr_stop=args.snr,
                 least_error_frames=args.errors,
@@ -137,7 +147,8 @@ def bench_engine(args) -> list[dict]:
         r = res.rows[0]
         timed = r.get("timed_frames") or r["frames"]
         row = {
-            "engine": engine, "method": args.method, "code": args.code,
+            "engine": engine, "kernel": args.kernel,
+            "method": args.method, "code": args.code,
             "snr_db": args.snr, "batch": args.batch,
             "frames": r["frames"], "fer": r["fer"],
             "avg_iters": round(r["avg_iters"], 2),
@@ -170,6 +181,8 @@ def main() -> int:
     pe.add_argument("--nm", type=int, default=2)
     pe.add_argument("--nc", type=int, default=2)
     pe.add_argument("--stream-steps", type=int, default=16)
+    pe.add_argument("--kernel", default="auto",
+                    choices=["auto", "jnp", "pallas"])
     pe.add_argument("--errors", type=int, default=200)
     pe.add_argument("--frames", type=int, default=50_000)
     pe.add_argument("--max-frames", type=int, default=300_000)
