@@ -179,7 +179,12 @@ def main(argv=None) -> int:
             batch_per_device=args.batch, add_noise=not args.no_noise,
             tx=args.tx, channel=args.channel, engine=args.engine,
             stream_steps=args.stream_steps)
-        if args.packed:
+        if args.packed and args.engine == "stream":
+            res = simmod.run_binary_stream_packed(simcfg,
+                                                  out_dir=args.out_dir,
+                                                  checkpoint=args.checkpoint,
+                                                  quiet=args.quiet)
+        elif args.packed:
             res = simmod.run_binary_sweep_packed(simcfg, out_dir=args.out_dir,
                                                  checkpoint=args.checkpoint,
                                                  quiet=args.quiet)
@@ -198,9 +203,10 @@ def main(argv=None) -> int:
             n_qam=args.n_qam, batch_per_device=args.batch, tx=args.tx,
             engine=args.engine, stream_steps=args.stream_steps)
         if args.packed and args.engine == "stream":
-            raise SystemExit("--packed and --engine stream are exclusive "
-                             "(streaming already keeps every lane busy)")
-        if args.packed:
+            res = simmod.run_nb_stream_packed(simcfg, out_dir=args.out_dir,
+                                              checkpoint=args.checkpoint,
+                                              quiet=args.quiet)
+        elif args.packed:
             res = simmod.run_nb_sweep_packed(simcfg, out_dir=args.out_dir,
                                              checkpoint=args.checkpoint,
                                              quiet=args.quiet)

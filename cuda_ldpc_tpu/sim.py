@@ -297,18 +297,19 @@ def _run_sweep(kind: str, sweep: cfg.SweepConfig, units_per_frame: int,
 # binary simulator
 # --------------------------------------------------------------------------
 
-def _pick_binary_decode(code: QCBinaryCode, dec_cfg: cfg.BinaryDecoderConfig,
-                        n_devices: int = 1):
+def _pick_binary_decode(code: QCBinaryCode, dec_cfg: cfg.BinaryDecoderConfig):
     """Kernel dispatch: fused Pallas on TPU when the code's Z suits it.
     Both rules (minsum + bp sum-product) have fused kernels; the returned
     callable is tagged with ``is_pallas`` for the driver's col-major check.
-    'auto' only picks pallas on a single-device mesh (pallas_call without
-    shard_map does not partition over a multi-device batch sharding)."""
+    On a multi-device mesh the caller wraps the fused path with
+    ``_shard_decode`` (shard_map over the batch axis) once the frame-axis
+    layout is known — a bare pallas_call would gather/replicate a sharded
+    batch instead of partitioning it."""
     from cuda_ldpc_tpu.ops import pallas_minsum
     layered = dec_cfg.schedule == "layered"
     want = dec_cfg.kernel
     on_tpu = jax.default_backend() == "tpu"
-    if want == "pallas" or (want == "auto" and on_tpu and n_devices == 1
+    if want == "pallas" or (want == "auto" and on_tpu
                             and pallas_minsum.supports(code)):
         if not pallas_minsum.supports(code):
             raise ValueError(
@@ -324,6 +325,18 @@ def _pick_binary_decode(code: QCBinaryCode, dec_cfg: cfg.BinaryDecoderConfig,
     return fn
 
 
+def _shard_decode(decode, mesh, col_major: bool):
+    """Multi-device meshes run the fused kernel per-shard via shard_map
+    (parallel/shard.py); single-device meshes call it directly.  Keeps the
+    ``is_pallas`` tag so layout decisions survive the wrap."""
+    if not decode.is_pallas or mesh.devices.size == 1:
+        return decode
+    from cuda_ldpc_tpu.parallel import shard_binary_decode
+    fn = shard_binary_decode(decode, mesh, col_major)
+    fn.is_pallas = True
+    return fn
+
+
 def make_binary_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
                      mesh=None):
     """Jitted batch step: (all-zero or random-encoded) codeword -> AWGN ->
@@ -332,7 +345,7 @@ def make_binary_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
     mesh = mesh or get_mesh()
     n_dev = mesh.devices.size
     B = sim.batch_per_device * n_dev
-    decode = _pick_binary_decode(code, dec_cfg, mesh.devices.size)
+    decode = _pick_binary_decode(code, dec_cfg)
     msg_cols = code.L - code.J if dec_cfg.message_only else code.L
     dtype = jnp.dtype(dec_cfg.msg_dtype)
     enc = None
@@ -346,6 +359,7 @@ def make_binary_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
     # zero-tx pallas decodes run in the kernel's native [L, B, Z] layout,
     # skipping two full-batch HBM transposes per call
     col = enc is None and decode.is_pallas
+    decode = _shard_decode(decode, mesh, col_major=col)
     shard = batch_sharding(mesh, 3, axis_pos=1 if col else 0)
     # min-sum is scale-invariant so raw channel samples work (the reference
     # feeds y directly, LDPC_Decoder.cu:203); exact sum-product needs true
@@ -426,7 +440,8 @@ def make_binary_ref_channel_step(code: QCBinaryCode,
     mesh = mesh or get_mesh()
     B = sim.batch_per_device * mesh.devices.size
     shard = batch_sharding(mesh, 3)
-    decode = _pick_binary_decode(code, dec_cfg, mesh.devices.size)
+    decode = _shard_decode(_pick_binary_decode(code, dec_cfg), mesh,
+                           col_major=False)
     msg_cols = code.L - code.J if dec_cfg.message_only else code.L
     dtype = jnp.dtype(dec_cfg.msg_dtype)
 
@@ -502,7 +517,6 @@ def make_binary_stream_fn(code: QCBinaryCode, sim: cfg.BinarySimConfig,
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = (dec.kernel == "pallas"
                   or (dec.kernel == "auto" and on_tpu
-                      and mesh.devices.size == 1
                       and pallas_minsum.supports(code)))
     if use_pallas:
         if not pallas_minsum.supports(code):
@@ -601,14 +615,17 @@ def _make_binary_stream_pallas(code: QCBinaryCode, sim: cfg.BinarySimConfig,
     iterations per call against persistent [E, B, Zp] message state in HBM;
     the driver counts the slots that finished and re-seeds only their
     channel columns (the kernel zeroes their messages on the way out).
-    Single device only (the state is not mesh-sharded)."""
+    Multi-device meshes shard the slot axis: every chip owns its slots'
+    persistent state and runs the kernel per-shard under shard_map (zero
+    collectives — slots never interact)."""
     from cuda_ldpc_tpu.ops import pallas_minsum_stream
     from cuda_ldpc_tpu.ops.pallas_minsum import _lane_pad
     dec = sim.decoder
     tile_b = 8
-    B = sim.batch_per_device
-    if B % tile_b:
-        raise ValueError(f"stream batch must be a multiple of {tile_b}")
+    n_dev = mesh.devices.size
+    if sim.batch_per_device % tile_b:
+        raise ValueError(f"stream batch/device must be a multiple of {tile_b}")
+    B = sim.batch_per_device * n_dev
     Zp = _lane_pad(code.Z)
     msg_cols = code.L - code.J if dec.message_only else code.L
     enc = None
@@ -627,6 +644,11 @@ def _make_binary_stream_pallas(code: QCBinaryCode, sim: cfg.BinarySimConfig,
         pallas_minsum_stream.stream_step, code=code, k=max_it + 1,
         max_iters=max_it, alpha=dec.alpha, beta=dec.beta, check=dec.check,
         rule=dec.rule, layered=layered, tile_b=tile_b)
+    if n_dev > 1:
+        from cuda_ldpc_tpu.parallel import shard_stream_step
+        step = shard_stream_step(step, mesh, n_state3=2, n_flags=3)
+        drain_step = shard_stream_step(drain_step, mesh, n_state3=2,
+                                       n_flags=3)
 
     def fresh(key, sigma):
         """(chan [L, B, Zp] zero-padded, cw [L, B, Z] int8)."""
@@ -649,13 +671,19 @@ def _make_binary_stream_pallas(code: QCBinaryCode, sim: cfg.BinarySimConfig,
         chan = llr_scale(chan, sigma)
         if Zp != code.Z:
             chan = jnp.pad(chan, ((0, 0), (0, 0), (0, Zp - code.Z)))
-        return chan, cw
+        slot3 = batch_sharding(mesh, 3, axis_pos=1)   # [X, B, lanes]
+        return (jax.lax.with_sharding_constraint(chan, slot3),
+                jax.lax.with_sharding_constraint(cw, slot3))
 
     def init_fn(key, sigma):
         chan, cw = fresh(key, sigma)
-        z = jnp.zeros((B, 128), jnp.int32)
-        return (chan, jnp.zeros((code.num_edges, B, Zp), jnp.float32),
-                z, z, z, cw)
+        slot3 = batch_sharding(mesh, 3, axis_pos=1)
+        flag = batch_sharding(mesh, 2, axis_pos=0)
+        z = jax.lax.with_sharding_constraint(
+            jnp.zeros((B, 128), jnp.int32), flag)
+        R0 = jax.lax.with_sharding_constraint(
+            jnp.zeros((code.num_edges, B, Zp), jnp.float32), slot3)
+        return (chan, R0, z, z, z, cw)
 
     def _count(hard, cw, t2, d2, o2):
         dvec = d2[:, 0] == 1                          # [B]
@@ -829,8 +857,9 @@ def make_binary_packed_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
     dec_cfg = sim.decoder
     mesh = mesh or get_mesh()
     B = sim.batch_per_device * mesh.devices.size
-    decode = _pick_binary_decode(code, dec_cfg, mesh.devices.size)
+    decode = _pick_binary_decode(code, dec_cfg)
     col = decode.is_pallas
+    decode = _shard_decode(decode, mesh, col_major=col)
     shard = batch_sharding(mesh, 3, axis_pos=1 if col else 0)
     msg_cols = code.L - code.J if dec_cfg.message_only else code.L
     dtype = jnp.dtype(dec_cfg.msg_dtype)
@@ -1017,7 +1046,7 @@ def make_nb_packed_step(code: NBCode, sim: cfg.NBSimConfig, n_points: int,
     shard = batch_sharding(mesh, 3)
     pts = constellation(sim.n_qam)
     src = _make_nb_source(code, sim, pts, B)
-    decoder = _nb_decoder_fn(code, dec, mesh.devices.size)
+    decoder = _nb_decoder_fn(code, dec, mesh)
 
     def step(key, sigma_vec, pid_vec):
         L, tx = src(key, sigma_vec)
@@ -1067,19 +1096,28 @@ def run_nb_sweep_packed(sim: cfg.NBSimConfig, mesh=None,
 # non-binary simulator
 # --------------------------------------------------------------------------
 
-def _nb_decoder_fn(code: NBCode, dec: cfg.NBDecoderConfig, n_devices: int = 1):
+def _nb_decoder_fn(code: NBCode, dec: cfg.NBDecoderConfig, mesh=None):
+    """NB kernel dispatch.  On multi-device meshes the fused paths are
+    wrapped in shard_map over the batch axis (parallel/shard.py) so every
+    chip runs the kernel on its local frame shard."""
     if dec.method not in nb_decode.METHODS:
         raise ValueError(f"unknown NB decoder method {dec.method!r} "
                          f"(expected one of {nb_decode.METHODS})")
     want = getattr(dec, "kernel", "auto")
     qspa_like = dec.method in ("qspa", "layered_qspa", "glayered_qspa")
+    n_devices = mesh.devices.size if mesh is not None else 1
+
+    def fused(base):
+        fn = lambda L: base(L, code, dec.max_iters)
+        if n_devices > 1:
+            from cuda_ldpc_tpu.parallel import shard_nb_decode
+            fn = shard_nb_decode(fn, mesh)
+        return fn
+
     if qspa_like and want != "jnp":
         from cuda_ldpc_tpu.ops import pallas_qspa, pallas_qspa_qc
         on_tpu = jax.default_backend() == "tpu"
-        # 'auto' only dispatches to pallas on a single-device mesh:
-        # pl.pallas_call without shard_map does not partition over a
-        # multi-device batch sharding (it would gather/replicate the batch)
-        auto_ok = want == "auto" and on_tpu and n_devices == 1
+        auto_ok = want == "auto" and on_tpu
         # per-edge fused kernel: small/medium adjacency codes,
         # flooding + serial-row layered schedules
         if dec.method in ("qspa", "layered_qspa"):
@@ -1095,22 +1133,37 @@ def _nb_decoder_fn(code: NBCode, dec: cfg.NBDecoderConfig, n_devices: int = 1):
                 if plan.scheme == "logrot" and plan.E * code.q <= 8192:
                     ok = False
             if ok and (want == "pallas" or auto_ok):
-                base = (pallas_qspa.decode_layered
-                        if dec.method == "layered_qspa"
-                        else pallas_qspa.decode_flooding)
-                return lambda L: base(L, code, dec.max_iters)
+                return fused(pallas_qspa.decode_layered
+                             if dec.method == "layered_qspa"
+                             else pallas_qspa.decode_flooding)
         # circulant-aware fused kernel: large QC codes (the Tanner file),
         # flooding + block-row grouped-layered schedule
         if dec.method in ("qspa", "glayered_qspa"):
             ok = pallas_qspa_qc.supports(code)
             if ok and (want == "pallas" or auto_ok):
-                base = (pallas_qspa_qc.decode_layered
-                        if dec.method == "glayered_qspa"
-                        else pallas_qspa_qc.decode_flooding)
-                return lambda L: base(L, code, dec.max_iters)
+                return fused(pallas_qspa_qc.decode_layered
+                             if dec.method == "glayered_qspa"
+                             else pallas_qspa_qc.decode_flooding)
         if want == "pallas":
             raise ValueError(f"no pallas qspa kernel supports {code.name} "
                              f"with method={dec.method!r} (q={code.q})")
+    if dec.method in ("ems", "tmm", "layered_tmm") and want != "jnp":
+        # fused max-domain kernels (ops/pallas_nbms): the reference's
+        # committed default decoder (EMS Nm=2/Nc=2, define.h:37-39) and the
+        # TMM family on q <= 64 codes
+        from cuda_ldpc_tpu.ops import pallas_nbms
+        on_tpu = jax.default_backend() == "tpu"
+        ok = pallas_nbms.supports(code, nm=dec.nm, nc=dec.nc)
+        if ok and (want == "pallas" or (want == "auto" and on_tpu)):
+            return fused({"ems": pallas_nbms.decode_ems,
+                          "tmm": pallas_nbms.decode_tmm,
+                          "layered_tmm": pallas_nbms.decode_layered_tmm
+                          }[dec.method])
+        if want == "pallas":
+            raise ValueError(
+                f"no fused max-domain kernel supports {code.name} with "
+                f"method={dec.method!r} Nm={dec.nm} Nc={dec.nc} "
+                "(pallas_nbms: q <= 64, Nm=2/Nc=2)")
     return lambda L: nb_decode.decode(L, code, dec.method, dec.max_iters,
                                       nm=dec.nm, nc=dec.nc)
 
@@ -1176,7 +1229,7 @@ def make_nb_step(code: NBCode, sim: cfg.NBSimConfig, mesh=None):
     shard = batch_sharding(mesh, 3)
     pts = constellation(sim.n_qam)
     src = _make_nb_source(code, sim, pts, B)
-    decoder = _nb_decoder_fn(code, dec, mesh.devices.size)
+    decoder = _nb_decoder_fn(code, dec, mesh)
 
     def step(key, sigma):
         L, tx = src(key, sigma)
@@ -1220,12 +1273,22 @@ def make_nb_stream_fn(code: NBCode, sim: cfg.NBSimConfig, mesh=None):
     in-flight frames would be biased toward slow/hard frames and FER would
     read low."""
     dec = sim.decoder
-    if getattr(dec, "kernel", "auto") == "pallas":
-        raise ValueError(
-            "kernel='pallas' is batch-engine only: the streaming engine "
-            "drives the per-iteration DecoderCore (jnp); use kernel='auto' "
-            "or 'jnp' with engine='stream'")
     mesh = mesh or get_mesh()
+    want = getattr(dec, "kernel", "auto")
+    if dec.method in ("qspa", "layered_qspa"):
+        from cuda_ldpc_tpu.ops import pallas_qspa
+        on_tpu = jax.default_backend() == "tpu"
+        # 'auto' compounds the two measured wins (VERDICT r4 item 3): the
+        # stream ENGINE (4.3x batch, round 3) now drives the fused KERNEL
+        # (VMEM-resident state, ops/pallas_qspa_stream) whenever it applies
+        if (want == "pallas"
+                or (want == "auto" and on_tpu and pallas_qspa.supports(code))):
+            return _make_nb_stream_pallas(code, sim, mesh)
+    if want == "pallas":
+        raise ValueError(
+            f"no fused stream kernel supports {code.name} with "
+            f"method={dec.method!r} (fused stream = qspa/layered_qspa on "
+            "pallas_qspa-supported codes); use kernel='auto' or 'jnp'")
     B = sim.batch_per_device * mesh.devices.size
     shard = batch_sharding(mesh, 3)
     pts = constellation(sim.n_qam)
@@ -1294,7 +1357,525 @@ def make_nb_stream_fn(code: NBCode, sim: cfg.NBSimConfig, mesh=None):
             jax.jit(drain_fn, donate_argnums=0), B)
 
 
+def _make_nb_stream_pallas(code: NBCode, sim: cfg.NBSimConfig, mesh):
+    """Fused NB stream engine: the stateful Pallas step
+    (ops/pallas_qspa_stream.stream_step) runs ``stream_steps`` fused QSPA
+    iterations per call against persistent [E, B, q] c2v state in HBM with
+    per-slot freeze; the driver counts finished slots and re-seeds only
+    their channel planes (the kernel zeroes their messages on the way out).
+    Same init/run/drain contract and counters as make_nb_stream_fn's jnp
+    path; multi-device meshes shard the slot axis via shard_map (every chip
+    owns its slots' persistent state — zero collectives)."""
+    from cuda_ldpc_tpu.ops import pallas_qspa, pallas_qspa_stream
+    dec = sim.decoder
+    plan = pallas_qspa.make_plan(code)
+    tile_b = pallas_qspa_stream.pick_tile_b(code)
+    n_dev = mesh.devices.size
+    if sim.batch_per_device % tile_b:
+        raise ValueError(
+            f"fused NB stream needs batch_per_device % {tile_b} == 0 "
+            f"for {code.name} (got {sim.batch_per_device})")
+    B = sim.batch_per_device * n_dev
+    pts = constellation(sim.n_qam)
+    src = _make_nb_source(code, sim, pts, B)
+    layered = dec.method == "layered_qspa"
+    max_it = dec.max_iters
+    logrot = plan.scheme == "logrot"
+    sym = jnp.asarray(plan.sym, jnp.int32) if logrot else None
+    step = functools.partial(pallas_qspa_stream.stream_step, code=code,
+                             k=sim.stream_steps, max_iters=max_it,
+                             layered=layered, tile_b=tile_b)
+    drain_step = functools.partial(pallas_qspa_stream.stream_step, code=code,
+                                   k=max_it + 1, max_iters=max_it,
+                                   layered=layered, tile_b=tile_b)
+    if n_dev > 1:
+        from cuda_ldpc_tpu.parallel import shard_stream_step
+        step = shard_stream_step(step, mesh, n_state3=2, n_flags=3)
+        drain_step = shard_stream_step(drain_step, mesh, n_state3=2,
+                                       n_flags=3)
+    slot3 = batch_sharding(mesh, 3, axis_pos=1)
+    flag = batch_sharding(mesh, 2, axis_pos=0)
+
+    def fresh(key, sigma):
+        """(chan [N, B, q] — logrot lanes in discrete-log order, tx [B, N])."""
+        L, tx = src(key, sigma)
+        if logrot:
+            L = jnp.take(L, sym, axis=2)
+        chan = L.astype(jnp.float32).transpose(1, 0, 2)
+        return (jax.lax.with_sharding_constraint(chan, slot3),
+                jax.lax.with_sharding_constraint(tx, flag))
+
+    def init_fn(key, sigma):
+        chan, tx = fresh(key, sigma)
+        z = jax.lax.with_sharding_constraint(
+            jnp.zeros((B, 128), jnp.int32), flag)
+        C0 = jax.lax.with_sharding_constraint(
+            jnp.zeros((plan.E, B, code.q), jnp.float32), slot3)
+        return (chan, C0, z, z, z, tx)
+
+    def _hard_syms(hard_oh):
+        hard = jnp.argmax(hard_oh, axis=2).astype(jnp.int32).T   # [B, N]
+        return jnp.take(sym, hard) if logrot else hard
+
+    def _count(hard, tx, t2, d2, o2):
+        dvec = d2[:, 0] == 1
+        okvec = o2[:, 0] == 1
+        errsyms = jnp.sum((hard != tx).astype(jnp.int32), axis=1)
+        has_err = errsyms > 0
+        di = dvec.astype(jnp.int32)
+        return jnp.stack([
+            jnp.sum(di),
+            jnp.sum(di * has_err.astype(jnp.int32)),
+            jnp.sum(di * errsyms),
+            jnp.sum(di * (has_err & okvec).astype(jnp.int32)),
+            jnp.sum(di * (~has_err & ~okvec).astype(jnp.int32)),
+            jnp.sum(di * t2[:, 0])])
+
+    def run_fn(state, key, sigma):
+        chan, C, t, done, okf, tx = state
+        chan2, C2, hard_oh, t2, d2, o2 = step(chan, C, t, done, okf)
+        counters = _count(_hard_syms(hard_oh), tx, t2, d2, o2)
+        nchan, ntx = fresh(key, sigma)
+        dm = d2[:, 0] == 1
+        chan3 = jnp.where(dm[None, :, None], nchan, chan2)
+        tx3 = jnp.where(dm[:, None], ntx, tx)
+        keep = (d2 == 0).astype(jnp.int32)
+        return (chan3, C2, t2 * keep, jnp.zeros_like(d2),
+                jnp.zeros_like(o2), tx3), counters
+
+    def drain_fn(state, key, sigma):
+        chan, C, t, done, okf, tx = state
+        chan2, C2, hard_oh, t2, d2, o2 = drain_step(chan, C, t, done, okf)
+        counters = _count(_hard_syms(hard_oh), tx, t2, d2, o2)
+        return (chan2, C2, t2, d2, o2, tx), counters
+
+    return (jax.jit(init_fn), jax.jit(run_fn, donate_argnums=0),
+            jax.jit(drain_fn, donate_argnums=0), B)
+
+
 _STREAM_TEST_INTERRUPT: int | None = None   # tests: raise after N consumes
+
+
+def make_binary_stream_packed_fn(code: QCBinaryCode,
+                                 sim: cfg.BinarySimConfig,
+                                 sigmas: np.ndarray, mesh=None):
+    """Packed multi-SNR continuous batching (binary): every slot carries its
+    own SNR-point id; refills adopt the point id the driver assigns per call
+    (round-robin over unfinished points), so every lane stays busy until the
+    LAST point's stop rule fires — the packed-batch idea (_run_packed)
+    compounded with the stream engine.  Fused Pallas engine only (the
+    production fast path; the jnp cores keep the sequential stream API).
+
+    Returns (init_fn, run_fn, drain_fn, B):
+      init_fn(key, pid0 [B])              -> state
+      run_fn(state, key, refill_pid [B])  -> (state, counters [S, 6])
+      drain_fn(state, key)                -> (state, counters [S, 6])
+    counters rows = (frames, err_frames, err_units, false, alarm, iter_sum)
+    segment-summed by each finished slot's point id."""
+    from cuda_ldpc_tpu.ops import pallas_minsum_stream
+    from cuda_ldpc_tpu.ops.pallas_minsum import _lane_pad, supports
+    dec = sim.decoder
+    if sim.tx == "random" and dec.check == "zero":
+        raise ValueError("tx='random' needs check='syndrome'")
+    if dec.check == "none":
+        raise ValueError("engine='stream' needs a per-frame check")
+    if not supports(code):
+        raise ValueError(f"packed stream runs the fused kernel only; "
+                         f"unsupported for {code.name} (Z={code.Z})")
+    mesh = mesh or get_mesh()
+    tile_b = 8
+    n_dev = mesh.devices.size
+    if sim.batch_per_device % tile_b:
+        raise ValueError(f"stream batch/device must be a multiple of {tile_b}")
+    B = sim.batch_per_device * n_dev
+    S = len(sigmas)
+    sig_table = jnp.asarray(np.asarray(sigmas, np.float32))
+    Zp = _lane_pad(code.Z)
+    msg_cols = code.L - code.J if dec.message_only else code.L
+    enc = None
+    if sim.tx == "random":
+        from cuda_ldpc_tpu.models.encoder import BinaryEncoder
+        enc = BinaryEncoder.from_code(code)
+    bp = dec.rule == "bp"
+    max_it = dec.max_iters
+    layered = dec.schedule == "layered"
+    step = functools.partial(
+        pallas_minsum_stream.stream_step, code=code, k=sim.stream_steps,
+        max_iters=max_it, alpha=dec.alpha, beta=dec.beta, check=dec.check,
+        rule=dec.rule, layered=layered, tile_b=tile_b)
+    drain_step = functools.partial(
+        pallas_minsum_stream.stream_step, code=code, k=max_it + 1,
+        max_iters=max_it, alpha=dec.alpha, beta=dec.beta, check=dec.check,
+        rule=dec.rule, layered=layered, tile_b=tile_b)
+    if n_dev > 1:
+        from cuda_ldpc_tpu.parallel import shard_stream_step
+        step = shard_stream_step(step, mesh, n_state3=2, n_flags=3)
+        drain_step = shard_stream_step(drain_step, mesh, n_state3=2,
+                                       n_flags=3)
+    slot3 = batch_sharding(mesh, 3, axis_pos=1)
+    flag = batch_sharding(mesh, 2, axis_pos=0)
+
+    def fresh(key, sig):
+        """Per-slot sigma [B] -> (chan [L, B, Zp], cw [L, B, Z] int8)."""
+        if enc is None:
+            cw = jnp.zeros((code.L, B, code.Z), jnp.int8)
+            x = jnp.ones((code.L, B, code.Z), jnp.float32)
+        else:
+            kmsg, key = jax.random.split(key)
+            msg = jax.random.bernoulli(
+                kmsg, 0.5, (B, enc.k_eff)).astype(jnp.float32)
+            cwf = enc.encode_jax(msg).reshape(B, code.L, code.Z)
+            cwf = cwf.astype(jnp.float32).transpose(1, 0, 2)
+            cw = cwf.astype(jnp.int8)
+            x = 1.0 - 2.0 * cwf
+        if sim.add_noise:
+            chan = x + sig[None, :, None] * jax.random.normal(
+                key, x.shape, dtype=jnp.float32)
+        else:
+            chan = x
+        if bp:
+            chan = chan * (2.0 / (sig * sig))[None, :, None]
+        if Zp != code.Z:
+            chan = jnp.pad(chan, ((0, 0), (0, 0), (0, Zp - code.Z)))
+        return (jax.lax.with_sharding_constraint(chan, slot3),
+                jax.lax.with_sharding_constraint(cw, slot3))
+
+    def init_fn(key, pid0):
+        chan, cw = fresh(key, sig_table[pid0])
+        z = jax.lax.with_sharding_constraint(
+            jnp.zeros((B, 128), jnp.int32), flag)
+        R0 = jax.lax.with_sharding_constraint(
+            jnp.zeros((code.num_edges, B, Zp), jnp.float32), slot3)
+        return (chan, R0, z, z, z, cw, pid0.astype(jnp.int32))
+
+    def _count(hard, cw, pid, t2, d2, o2):
+        dvec = d2[:, 0] == 1
+        okvec = o2[:, 0] == 1
+        errs = (hard[:msg_cols, :, :code.Z].astype(jnp.int32)
+                != cw[:msg_cols].astype(jnp.int32))
+        errbits = jnp.sum(errs, axis=(0, 2))
+        has_err = errbits > 0
+        di = dvec.astype(jnp.int32)
+        per = jnp.stack([di, di * has_err.astype(jnp.int32), di * errbits,
+                         di * (has_err & okvec).astype(jnp.int32),
+                         di * (~has_err & ~okvec).astype(jnp.int32),
+                         di * t2[:, 0]], axis=1)          # [B, 6]
+        return jax.ops.segment_sum(per, pid, num_segments=S)
+
+    def run_fn(state, key, refill_pid):
+        chan, R, t, done, okf, cw, pid = state
+        chan2, R2, hard, t2, d2, o2 = step(chan, R, t, done, okf)
+        counters = _count(hard, cw, pid, t2, d2, o2)
+        dvec = d2[:, 0] == 1
+        pid2 = jnp.where(dvec, refill_pid.astype(jnp.int32), pid)
+        nchan, ncw = fresh(key, sig_table[pid2])
+        dm = dvec[None, :, None]
+        chan3 = jnp.where(dm, nchan, chan2)
+        cw3 = jnp.where(dm, ncw, cw)
+        keep = (d2 == 0).astype(jnp.int32)
+        return (chan3, R2, t2 * keep, jnp.zeros_like(d2),
+                jnp.zeros_like(o2), cw3, pid2), counters
+
+    def drain_fn(state, key):
+        chan, R, t, done, okf, cw, pid = state
+        chan2, R2, hard, t2, d2, o2 = drain_step(chan, R, t, done, okf)
+        counters = _count(hard, cw, pid, t2, d2, o2)
+        return (chan2, R2, t2, d2, o2, cw, pid), counters
+
+    return (jax.jit(init_fn), jax.jit(run_fn, donate_argnums=0),
+            jax.jit(drain_fn, donate_argnums=0), B)
+
+
+def make_nb_stream_packed_fn(code: NBCode, sim: cfg.NBSimConfig,
+                             sigmas: np.ndarray, mesh=None):
+    """Packed multi-SNR continuous batching (non-binary): the fused QSPA
+    stream kernel with per-slot SNR-point ids (see
+    make_binary_stream_packed_fn for the contract)."""
+    from cuda_ldpc_tpu.ops import pallas_qspa, pallas_qspa_stream
+    dec = sim.decoder
+    if dec.method not in ("qspa", "layered_qspa"):
+        raise ValueError("packed stream supports method='qspa'/'layered_qspa'"
+                         " (the fused stream kernel)")
+    if not pallas_qspa.supports(code):
+        raise ValueError(f"fused stream kernel unsupported for {code.name}")
+    mesh = mesh or get_mesh()
+    plan = pallas_qspa.make_plan(code)
+    tile_b = pallas_qspa_stream.pick_tile_b(code)
+    n_dev = mesh.devices.size
+    if sim.batch_per_device % tile_b:
+        raise ValueError(
+            f"packed stream needs batch_per_device % {tile_b} == 0")
+    B = sim.batch_per_device * n_dev
+    S = len(sigmas)
+    sig_table = jnp.asarray(np.asarray(sigmas, np.float32))
+    pts = constellation(sim.n_qam)
+    src = _make_nb_source(code, sim, pts, B)
+    layered = dec.method == "layered_qspa"
+    max_it = dec.max_iters
+    logrot = plan.scheme == "logrot"
+    sym = jnp.asarray(plan.sym, jnp.int32) if logrot else None
+    step = functools.partial(pallas_qspa_stream.stream_step, code=code,
+                             k=sim.stream_steps, max_iters=max_it,
+                             layered=layered, tile_b=tile_b)
+    drain_step = functools.partial(pallas_qspa_stream.stream_step, code=code,
+                                   k=max_it + 1, max_iters=max_it,
+                                   layered=layered, tile_b=tile_b)
+    if n_dev > 1:
+        from cuda_ldpc_tpu.parallel import shard_stream_step
+        step = shard_stream_step(step, mesh, n_state3=2, n_flags=3)
+        drain_step = shard_stream_step(drain_step, mesh, n_state3=2,
+                                       n_flags=3)
+    slot3 = batch_sharding(mesh, 3, axis_pos=1)
+    flag = batch_sharding(mesh, 2, axis_pos=0)
+
+    def fresh(key, sig):
+        L, tx = src(key, sig)            # _make_nb_source takes [B] sigma
+        if logrot:
+            L = jnp.take(L, jnp.asarray(plan.sym), axis=2)
+        chan = L.astype(jnp.float32).transpose(1, 0, 2)
+        return (jax.lax.with_sharding_constraint(chan, slot3),
+                jax.lax.with_sharding_constraint(tx, flag))
+
+    def init_fn(key, pid0):
+        chan, tx = fresh(key, sig_table[pid0])
+        z = jax.lax.with_sharding_constraint(
+            jnp.zeros((B, 128), jnp.int32), flag)
+        C0 = jax.lax.with_sharding_constraint(
+            jnp.zeros((plan.E, B, code.q), jnp.float32), slot3)
+        return (chan, C0, z, z, z, tx, pid0.astype(jnp.int32))
+
+    def _hard_syms(hard_oh):
+        hard = jnp.argmax(hard_oh, axis=2).astype(jnp.int32).T
+        return jnp.take(sym, hard) if logrot else hard
+
+    def _count(hard, tx, pid, t2, d2, o2):
+        dvec = d2[:, 0] == 1
+        okvec = o2[:, 0] == 1
+        errsyms = jnp.sum((hard != tx).astype(jnp.int32), axis=1)
+        has_err = errsyms > 0
+        di = dvec.astype(jnp.int32)
+        per = jnp.stack([di, di * has_err.astype(jnp.int32), di * errsyms,
+                         di * (has_err & okvec).astype(jnp.int32),
+                         di * (~has_err & ~okvec).astype(jnp.int32),
+                         di * t2[:, 0]], axis=1)
+        return jax.ops.segment_sum(per, pid, num_segments=S)
+
+    def run_fn(state, key, refill_pid):
+        chan, C, t, done, okf, tx, pid = state
+        chan2, C2, hard_oh, t2, d2, o2 = step(chan, C, t, done, okf)
+        counters = _count(_hard_syms(hard_oh), tx, pid, t2, d2, o2)
+        dvec = d2[:, 0] == 1
+        pid2 = jnp.where(dvec, refill_pid.astype(jnp.int32), pid)
+        nchan, ntx = fresh(key, sig_table[pid2])
+        chan3 = jnp.where(dvec[None, :, None], nchan, chan2)
+        tx3 = jnp.where(dvec[:, None], ntx, tx)
+        keep = (d2 == 0).astype(jnp.int32)
+        return (chan3, C2, t2 * keep, jnp.zeros_like(d2),
+                jnp.zeros_like(o2), tx3, pid2), counters
+
+    def drain_fn(state, key):
+        chan, C, t, done, okf, tx, pid = state
+        chan2, C2, hard_oh, t2, d2, o2 = drain_step(chan, C, t, done, okf)
+        counters = _count(_hard_syms(hard_oh), tx, pid, t2, d2, o2)
+        return (chan2, C2, t2, d2, o2, tx, pid), counters
+
+    return (jax.jit(init_fn), jax.jit(run_fn, donate_argnums=0),
+            jax.jit(drain_fn, donate_argnums=0), B)
+
+
+def _run_stream_packed(kind: str, sweep: cfg.SweepConfig,
+                       points: list[float], fns, B: int,
+                       units_per_frame: int, info_bits_per_frame: int,
+                       banner: list[str], out_dir, checkpoint, quiet,
+                       key_salt: str) -> SweepResult:
+    """Packed multi-SNR streaming sweep driver: one slot pool serves ALL
+    unfinished SNR points at once (per-slot point ids; refills assigned
+    round-robin over the live unfinished set), with the usual one-call
+    pipeline.  Exactly-once accounting: every started frame is counted at
+    the call in which its slot finishes, and the final drain finishes
+    every in-flight frame (dropping them would censor slow frames and bias
+    FER low).  Checkpoint/resume restores counters + slot state and loses
+    no frames; unlike the sequential stream driver the post-resume POINT
+    ASSIGNMENT of future refills may differ from the uninterrupted run
+    (the live unfinished set is consulted at each call), which changes
+    which — not how many or how fairly — Monte-Carlo frames each point
+    receives."""
+    init_fn, run_fn, drain_fn = fns
+    _write_logo(kind, banner, out_dir, quiet)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    S = len(points)
+    ck = _Checkpoint(checkpoint, key_salt)
+    spath = (checkpoint + ".pstate.npz") if checkpoint else None
+    done_rows = [ck.done_rows().get(f"{s:g}") for s in points]
+    if all(r is not None for r in done_rows):
+        return SweepResult(rows=done_rows)      # finished sweep re-run
+    base = jax.random.fold_in(jax.random.PRNGKey(sweep.seed),
+                              jax.process_index())
+    stats = [SnrStats(snr=s, units_per_frame=units_per_frame)
+             for s in points]
+
+    def unfinished():
+        return [i for i, st in enumerate(stats)
+                if not (st.error_frames >= sweep.least_error_frames
+                        and st.frames >= sweep.least_test_frames)
+                and st.frames < sweep.max_frames]
+
+    state = None
+    pending = None
+    ci = 1
+    saved = ck.state.get("stream_packed")
+    if saved and spath and os.path.exists(spath):
+        stats = [SnrStats.from_checkpoint(d) for d in saved["stats"]]
+        ci = saved["ci"]
+        with np.load(spath) as d:
+            pending = jnp.asarray(d["pending"])
+            leaves = [jnp.asarray(d[f"leaf{i}"])
+                      for i in range(d["nleaves"])]
+        active0 = unfinished() or [0]
+        pid0 = np.asarray(active0, np.int32)[np.arange(B) % len(active0)]
+        template = jax.eval_shape(init_fn, jax.random.PRNGKey(0),
+                                  jnp.asarray(pid0))
+        tdef = jax.tree_util.tree_structure(template)
+        state = jax.tree_util.tree_unflatten(tdef, leaves)
+    if state is None:
+        active0 = unfinished()
+        pid0 = np.asarray(active0, np.int32)[np.arange(B) % len(active0)]
+        state = init_fn(jax.random.fold_in(base, 0), jnp.asarray(pid0))
+    t_last = time.perf_counter()
+    t_ckpt = t_last
+    first = True
+
+    def consume(out, timed=True):
+        nonlocal t_last
+        seg = np.asarray(out)
+        now = time.perf_counter()
+        secs = now - t_last
+        nf_total = int(seg[:, 0].sum())
+        for i in range(S):
+            nf, ef, eu, ff, af, its = (int(x) for x in seg[i])
+            st = stats[i]
+            st.frames += nf
+            st.error_frames += ef
+            st.error_units += eu
+            st.false_frames += ff
+            st.alarm_frames += af
+            st.iter_sum += its
+            if timed and nf_total:
+                st.decode_s += secs * nf / nf_total
+                st.info_bits += nf * info_bits_per_frame
+                st.timed_frames += nf
+        t_last = now
+
+    def save_packed(pending_now, ci_now):
+        if not spath:
+            return
+        leaves = jax.tree_util.tree_leaves(state)
+        arrs = {f"leaf{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        tmp = spath + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, pending=np.asarray(pending_now),
+                     nleaves=len(leaves), **arrs)
+        os.replace(tmp, spath)
+        ck.state["stream_packed"] = {
+            "stats": [dataclasses.asdict(st) for st in stats],
+            "ci": ci_now}
+        ck.save(None, 0, 0)
+
+    while True:
+        active = unfinished()
+        nxt = None
+        if active:
+            refill_pid = np.asarray(active,
+                                    np.int32)[np.arange(B) % len(active)]
+            state, nxt = run_fn(state, jax.random.fold_in(base, ci),
+                                jnp.asarray(refill_pid))
+            ci += 1
+        if pending is not None:
+            consume(pending, timed=not first)
+            first = False
+            now = time.perf_counter()
+            if nxt is not None and now - t_ckpt >= sweep.stream_ckpt_s:
+                save_packed(nxt, ci)
+                t_ckpt = now
+        pending = nxt
+        if nxt is None:
+            break
+    state, dout = drain_fn(state, jax.random.fold_in(base, ci))
+    consume(dout, timed=False)     # drain absorbs its own jit compile
+    rows = []
+    for st in stats:
+        _emit(st.row(kind), st.to_dict(kind), out_dir, quiet)
+        rows.append(st.to_dict(kind))
+    if ck.path:
+        ck.state.pop("stream_packed", None)
+        for st in stats:
+            ck.finish_point(st, kind)
+    if spath and os.path.exists(spath):
+        os.remove(spath)
+    return SweepResult(rows=rows)
+
+
+def run_binary_stream_packed(sim: cfg.BinarySimConfig, mesh=None,
+                             out_dir: str | None = None,
+                             checkpoint: str | None = None,
+                             quiet: bool = False) -> SweepResult:
+    """Packed multi-SNR sweep on the binary continuous-batching engine."""
+    code = QCBinaryCode.from_registry(sim.code)
+    sweep = sim.sweep
+    points = sweep.snr_points()
+    sigmas = np.array([channel.sigma_from_snr(s, code.rate, sweep.snr_type)
+                       for s in points], dtype=np.float32)
+    fns = make_binary_stream_packed_fn(code, sim, sigmas, mesh)
+    init_fn, run_fn, drain_fn, B = fns
+    d = sim.decoder
+    msg_cols = code.L - code.J if d.message_only else code.L
+    banner = [
+        f" code: {code!r}  [PACKED STREAMING sweep, {len(points)} points, "
+        f"{sim.stream_steps} iters/call]",
+        f" decoder: {d.schedule} "
+        f"{'min-sum' if d.rule == 'minsum' else 'sum-product (bp)'}, "
+        f"maxIT={d.max_iters}, check={d.check}",
+        f" tx: {sim.tx}, slots: {B}",
+        f" sweep: {sweep.snr_type} {sweep.snr_start}:{sweep.snr_step}:"
+        f"{sweep.snr_stop}, stop at >={sweep.least_error_frames} errors & "
+        f">={sweep.least_test_frames} frames, seed={sweep.seed}",
+    ]
+    return _run_stream_packed(
+        "binary", sweep, points, (init_fn, run_fn, drain_fn), B,
+        msg_cols * code.Z, code.k, banner, out_dir, checkpoint, quiet,
+        _config_key(sim, {"kind": "binary_stream_packed", "B": B}))
+
+
+def run_nb_stream_packed(sim: cfg.NBSimConfig, mesh=None,
+                         out_dir: str | None = None,
+                         checkpoint: str | None = None,
+                         quiet: bool = False) -> SweepResult:
+    """Packed multi-SNR sweep on the NB continuous-batching engine."""
+    code = NBCode.from_registry(sim.code)
+    sweep = sim.sweep
+    points = sweep.snr_points()
+    bits_per_sym = float(np.log2(sim.n_qam))
+    sigmas = np.array([channel.sigma_from_snr(s, code.rate, sweep.snr_type,
+                                              bits_per_sym) for s in points],
+                      dtype=np.float32)
+    fns = make_nb_stream_packed_fn(code, sim, sigmas, mesh)
+    init_fn, run_fn, drain_fn, B = fns
+    d = sim.decoder
+    banner = [
+        f" code: {code!r}  [PACKED STREAMING sweep, {len(points)} points, "
+        f"{sim.stream_steps} iters/call]",
+        f" decoder: {d.method}, maxIT={d.max_iters}",
+        f" modulation: {'BPSK' if sim.n_qam == 2 else f'{sim.n_qam}-QAM'}, "
+        f"tx: {sim.tx}, slots: {B}",
+        f" sweep: {sweep.snr_type} {sweep.snr_start}:{sweep.snr_step}:"
+        f"{sweep.snr_stop}, stop at >={sweep.least_error_frames} errors & "
+        f">={sweep.least_test_frames} frames, seed={sweep.seed}",
+    ]
+    return _run_stream_packed(
+        "nb", sweep, points, (init_fn, run_fn, drain_fn), B, code.n_sym,
+        code.k_sym * code.q_bit, banner, out_dir, checkpoint, quiet,
+        _config_key(sim, {"kind": "nb_stream_packed", "B": B}))
 
 
 def _run_stream(kind: str, code_rate: float, sweep: cfg.SweepConfig,

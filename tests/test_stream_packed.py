@@ -1,0 +1,89 @@
+"""Packed multi-SNR streaming sweep (VERDICT-r4 item 7): fused stream
+engines with per-slot SNR-point ids, interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from cuda_ldpc_tpu import config as cfg, sim
+from cuda_ldpc_tpu.models.nb_code import NBCode
+from cuda_ldpc_tpu.models.qc_binary import QCBinaryCode
+
+
+def _bin_cfg(tmpdir_seed=0):
+    return cfg.BinarySimConfig(
+        code="J4_L24_Z96",
+        decoder=cfg.BinaryDecoderConfig(max_iters=3, check="zero",
+                                        kernel="pallas"),
+        sweep=cfg.SweepConfig(snr_start=4.0, snr_step=2.0, snr_stop=6.0,
+                              snr_type="ebn0", least_error_frames=1,
+                              least_test_frames=16, max_frames=64,
+                              display_step=10**9, seed=tmpdir_seed),
+        batch_per_device=16, engine="stream", stream_steps=2)
+
+
+def test_binary_stream_packed_sweep(tmp_path):
+    ckpt = str(tmp_path / "ck.json")
+    with pltpu.force_tpu_interpret_mode():
+        res = sim.run_binary_stream_packed(_bin_cfg(), quiet=True,
+                                           checkpoint=ckpt)
+    assert len(res.rows) == 2
+    for r in res.rows:
+        # stop rule honored: at least least_test_frames collected (the
+        # pipeline may overshoot; max_frames caps a no-error point)
+        assert 16 <= r["frames"]
+        assert 0 <= r["error_frames"] <= r["frames"]
+        assert 0.0 <= r["fer"] <= 1.0
+        assert r["iter_sum"] <= r["frames"] * 3
+    # 6 dB should not be worse than 4 dB by more than MC noise allows here
+    assert res.rows[1]["fer"] <= res.rows[0]["fer"] + 0.25
+    # finished sweep re-run: short-circuits to the checkpointed rows
+    res2 = sim.run_binary_stream_packed(_bin_cfg(), quiet=True,
+                                        checkpoint=ckpt)
+    assert [r["frames"] for r in res2.rows] == \
+        [r["frames"] for r in res.rows]
+
+
+def test_nb_stream_packed_factory():
+    """One run+drain cycle of the NB packed stream factory: exactly-once
+    accounting across two points."""
+    code = NBCode.from_registry("BDS.576.288.GF.64")
+    scfg = cfg.NBSimConfig(
+        code="BDS.576.288.GF.64",
+        decoder=cfg.NBDecoderConfig(method="layered_qspa", max_iters=3,
+                                    kernel="pallas"),
+        batch_per_device=16, engine="stream", stream_steps=2)
+    sigmas = np.array([0.8, 0.9], np.float32)
+    mesh = sim.get_mesh(jax.devices()[:1])
+    with pltpu.force_tpu_interpret_mode():
+        init_fn, run_fn, drain_fn, B = sim.make_nb_stream_packed_fn(
+            code, scfg, sigmas, mesh)
+        assert B == 16
+        key = jax.random.PRNGKey(0)
+        pid0 = jnp.asarray(np.arange(B, dtype=np.int32) % 2)
+        state = init_fn(key, pid0)
+        refill = jnp.asarray(np.zeros(B, np.int32))   # point 1 finished, say
+        state, c1 = run_fn(state, jax.random.fold_in(key, 1), refill)
+        state, c2 = drain_fn(state, jax.random.fold_in(key, 2))
+    c1, c2 = np.asarray(c1), np.asarray(c2)
+    assert c1.shape == (2, 6) and c2.shape == (2, 6)
+    tot = c1 + c2
+    # every started frame lands in exactly one point's tally: the initial
+    # B split 8/8, plus any refills (attributed to point 0 by `refill`)
+    assert tot[:, 0].sum() >= B
+    assert tot[1, 0] == 8                 # point 1 got no refills
+    assert (tot[:, 1] <= tot[:, 0]).all()
+    # drain leaves every slot finished
+    assert (np.asarray(state[3])[:, 0] == 1).all()
+
+
+def test_binary_packed_factory_rejects_unsupported():
+    code = QCBinaryCode.from_registry("J4_L24_Z96")
+    scfg = _bin_cfg()
+    scfg = cfg.BinarySimConfig(
+        code=scfg.code, decoder=cfg.BinaryDecoderConfig(check="none"),
+        batch_per_device=16)
+    with pytest.raises(ValueError, match="per-frame check"):
+        sim.make_binary_stream_packed_fn(code, scfg, np.array([0.5]))

@@ -46,10 +46,27 @@ def worker(coordinator: str, num_procs: int, pid: int, dev_per_proc: int) -> int
                               display_step=10**9),
         batch_per_device=4)
     res = sim.run_binary_sweep(simcfg, mesh=mesh, quiet=pid != 0)
+
+    # Fused-kernel path over the SAME multi-process mesh: kernel='pallas'
+    # routes through parallel/shard.shard_binary_decode (shard_map partitions
+    # the pallas_call per device; interpret mode stands in for Mosaic on the
+    # CPU backend) — validates the multi-chip fast path end-to-end.
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+    fused_cfg = dataclasses.replace(
+        simcfg,
+        decoder=dataclasses.replace(simcfg.decoder, kernel="pallas",
+                                    max_iters=4),
+        sweep=dataclasses.replace(simcfg.sweep, snr_stop=3.6, max_frames=64))
+    with pltpu.force_tpu_interpret_mode():
+        res2 = sim.run_binary_sweep(fused_cfg, mesh=mesh, quiet=pid != 0)
+
     if pid == 0:
         total = sum(r["frames"] for r in res.rows)
+        fused = sum(r["frames"] for r in res2.rows)
         print(f"MULTIHOST_OK procs={num_procs} devices={jax.device_count()} "
-              f"frames={total}", flush=True)
+              f"frames={total} fused_frames={fused}", flush=True)
     return 0
 
 
