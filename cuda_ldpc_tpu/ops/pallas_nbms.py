@@ -188,18 +188,25 @@ def _xor_dyn(x, s, Xbit_ref, q: int):
     return x
 
 
+
+def _f32_iota(shape, dim):
+    """Lane-index iota as f32.  Mosaic's tpu.iota only produces integer
+    vectors (f32 iota fails the MLIR verifier on device — found the hard
+    way); generate int32 and convert."""
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
 def _max_first(x, q: int):
     """(max value [TB, 1], first-max lane index [TB, 1] i32) — matches
     jnp.argmax's first-tie rule (lanes are in natural symbol order)."""
     v = jnp.max(x, axis=1, keepdims=True)
-    lane = jax.lax.broadcasted_iota(jnp.float32, x.shape, 1)
+    lane = _f32_iota(x.shape, 1)
     idx = jnp.min(jnp.where(x == v, lane, float(q)), axis=1, keepdims=True)
     return v, idx.astype(jnp.int32)
 
 
 def _min_first(x, q: int):
     v = jnp.min(x, axis=1, keepdims=True)
-    lane = jax.lax.broadcasted_iota(jnp.float32, x.shape, 1)
+    lane = _f32_iota(x.shape, 1)
     idx = jnp.min(jnp.where(x == v, lane, float(q)), axis=1, keepdims=True)
     return v, idx.astype(jnp.int32)
 
@@ -231,7 +238,7 @@ def _ems_row_update(row, T_ref, C_ref, P_ref, Xbit_ref, cont, q: int):
         v0, c0 = _max_first(U, q)
         W = _xor_dyn(U, c0, Xbit_ref, q) - v0     # delta profile, W[0] = 0
         if lane is None:
-            lane = jax.lax.broadcasted_iota(jnp.float32, W.shape, 1)
+            lane = _f32_iota(W.shape, 1)
         Ws.append(W)
         c0s.append(c0)
         # top non-best deviation per edge (the conf(Nm=2, .) alphabet)
@@ -295,7 +302,7 @@ def _tmm_row_update(row, T_ref, C_ref, P_ref, Xbit_ref, Xall_ref, hp_ref,
         vmin, qmin = _min_first(v, q)
         vmins.append(vmin)
         if lane is None:
-            lane = jax.lax.broadcasted_iota(jnp.float32, v.shape, 1)
+            lane = _f32_iota(v.shape, 1)
         # Zn = h * qmin via the one-hot lane reduction (hp holds h*k per lane)
         oh = lane == qmin.astype(jnp.float32)
         Zn = jnp.sum(jnp.where(oh, hp_ref[eid], 0.0), axis=1, keepdims=True)

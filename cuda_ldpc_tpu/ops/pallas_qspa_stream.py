@@ -23,17 +23,31 @@ Hadamard MXU matmuls, exclusive products, syndrome) stays VMEM-resident
 exactly as in the batch kernel, whose plan/row-update/decide/syndrome
 helpers are reused verbatim.
 
-State layout (col-major over slots, like the batch kernel's tiles):
+State layout (col-major over slots, like the batch kernel's tiles; qp =
+q rounded up to the 128-lane boundary — Mosaic requires manually-DMA'd
+memrefs to have 128-aligned minor dims, the same constraint that gives the
+binary stream kernel its Zp padding; measured on device: an unpadded q=64
+state fails to compile with "Slice shape along dimension 2 must be aligned
+to tiling (128)"):
 
-  chan [N, B, q] f32 — channel symbol-LLRs (flooding) or RUNNING TOTALS
+  chan [N, B, qp] f32 — channel symbol-LLRs (flooding) or RUNNING TOTALS
                        (layered; returned updated) — logrot codes store
-                       lanes in discrete-log slot order,
-  C    [E, B, q] f32 — c2v messages (persistent; HBM + per-tile DMA: blocked
-                       in/out specs would hold four double-buffered VMEM
-                       copies, the same OOM the binary stream kernel hit —
-                       ops/pallas_minsum_stream.py),
+                       lanes in discrete-log slot order; PAD LANES = NEG
+                       (see ``pack_chan``),
+  C    [E, B, qp] f32 — c2v messages (persistent; HBM + per-tile DMA:
+                       blocked in/out specs would hold four double-buffered
+                       VMEM copies, the same OOM the binary stream kernel
+                       hit — ops/pallas_minsum_stream.py),
   t / done / okf [B, 128] int32 — per-slot iteration count, finished flag,
                        check-passed flag (lanes replicated).
+
+Lane-padding invariants (why no per-op masking is needed): chan pads are
+NEG and the A/hp tables are zero-padded, so v2c pads stay ~NEG, softmax
+sends them to probability 0, the zero matrix rows/columns keep every real
+lane's matmul exact, written c2v pads are bounded garbage (~log EPS) that
+NEG absorbs in f32, the padded ``sym`` lane table (value qp) can never win
+a decide, and one-hot decisions are 0 on pads so the syndrome never sees
+them.
 
 The reference decodes one frame per host thread with no batching at all
 (myNBLDPC/src/Simulation.cpp:16-161); the round-3 155,708 frames/s jnp
@@ -52,11 +66,47 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuda_ldpc_tpu.models.nb_code import NBCode
+from cuda_ldpc_tpu.ops.nb_decode import NEG
+from cuda_ldpc_tpu.ops.pallas_minsum import _lane_pad
 from cuda_ldpc_tpu.ops.pallas_minsum_stream import _body_accounting
 from cuda_ldpc_tpu.ops.pallas_qspa import (_Plan, _cn_row_update,
                                            _decide_onehot, _lane_bytes,
                                            _syndrome_viol, make_plan,
                                            supports)
+
+
+def pack_chan(L: jax.Array, code: NBCode) -> jax.Array:
+    """[B, N, q] symbol LLRs -> the stream kernel's [N, B, qp] channel/state
+    layout: discrete-log lane order for logrot codes, lane axis padded to
+    the 128 boundary with NEG (see module docstring invariants)."""
+    plan = make_plan(code)
+    q = plan.q
+    qp = _lane_pad(q)
+    if plan.scheme == "logrot":
+        L = jnp.take(L, jnp.asarray(plan.sym), axis=2)
+    chan = L.astype(jnp.float32).transpose(1, 0, 2)
+    if qp != q:
+        chan = jnp.pad(chan, ((0, 0), (0, 0), (0, qp - q)),
+                       constant_values=NEG)
+    return chan
+
+
+def _padded_tables(plan: _Plan):
+    """(A [nA, qp, qp] zero-pad, hp [E, 1, qp] zero-pad, sym [1, qp] with
+    pad value qp so pad lanes never win a decide)."""
+    q = plan.q
+    qp = _lane_pad(q)
+    A = plan.A
+    hp = plan.hp
+    sym = (np.asarray(plan.sym, np.float32) if plan.scheme == "logrot"
+           else np.arange(q, dtype=np.float32))
+    if qp != q:
+        A = np.zeros((A.shape[0], qp, qp), np.float32)
+        A[:, :q, :q] = plan.A
+        hp = np.zeros((plan.E, 1, qp), np.float32)
+        hp[:, :, :q] = plan.hp
+        sym = np.concatenate([sym, np.full(qp - q, qp, np.float32)])
+    return A, hp, sym[None, :]
 
 
 def _stream_vmem_bytes(plan: _Plan, tile_b: int) -> int:
@@ -88,8 +138,9 @@ def _stream_kernel(chan_ref, A_ref, hp_ref, sym_ref, Cin_hbm, tin_ref,
                    tout_ref, dout_ref, oout_ref, T_ref, Cv_ref, sem_in,
                    sem_out, *, plan: _Plan, k: int, max_iters: int,
                    tile_b: int, layered: bool):
-    N, q = plan.N, plan.q
-    sym_lane = sym_ref[...]                        # [1, q] f32
+    N, q = plan.N, plan.q                  # q = REAL symbol count (1/q,
+    qp = _lane_pad(q)                      # logrot rotations); qp = lanes
+    sym_lane = sym_ref[...]                        # [1, qp] f32
     i = pl.program_id(0)
     sl = pl.ds(i * tile_b, tile_b)
     dma_in = pltpu.make_async_copy(Cin_hbm.at[:, sl, :], Cv_ref, sem_in)
@@ -99,7 +150,7 @@ def _stream_kernel(chan_ref, A_ref, hp_ref, sym_ref, Cin_hbm, tin_ref,
         # (fresh slots are seeded with the channel LLRs = initial totals)
         T_ref[...] = chan_ref[...]
     for n in range(N):
-        hard_ref[n] = jnp.zeros((tile_b, q), jnp.float32)
+        hard_ref[n] = jnp.zeros((tile_b, qp), jnp.float32)
     dma_in.wait()
 
     def body(state):
@@ -150,22 +201,23 @@ def stream_step(chan, C, t, done, okf, code: NBCode, k: int, max_iters: int,
                 layered: bool = False, tile_b: int | None = None,
                 interpret: bool = False):
     """Run up to ``k`` fused QSPA iterations against persistent per-slot
-    state (see module docstring for layouts).  Returns
-    (chan', C', hard_onehot [N, B, q] f32, t', done', okf').  B must be a
-    multiple of tile_b; logrot codes expect chan lanes in discrete-log
-    order (the driver reorders once at refill)."""
+    state (see module docstring for layouts; build chan with ``pack_chan``).
+    Returns (chan', C', hard_onehot [N, B, qp] f32, t', done', okf').
+    B must be a multiple of tile_b; argmax over the one-hot lane axis never
+    lands on a pad lane, so callers may argmax the padded width directly."""
     plan = make_plan(code)
     if not interpret and not supports(code):
         raise ValueError(f"pallas qspa stream kernel unsupported for "
                          f"{code.name} (q={code.q}, E={plan.E})")
     if tile_b is None:
         tile_b = pick_tile_b(code)
-    N, B, q = chan.shape
-    assert N == plan.N and q == plan.q and B % tile_b == 0
+    qp = _lane_pad(plan.q)
+    N, B, qc = chan.shape
+    assert N == plan.N and qc == qp and B % tile_b == 0, (
+        f"chan must be [N, B, qp]={plan.N, B, qp} (pack_chan), got "
+        f"{chan.shape}")
     nt = B // tile_b
-    logrot = plan.scheme == "logrot"
-    sym_in = (np.asarray(plan.sym, np.float32)[None, :] if logrot
-              else np.arange(q, dtype=np.float32)[None, :])
+    A, hp, sym_in = _padded_tables(plan)
     kernel = functools.partial(_stream_kernel, plan=plan, k=k,
                                max_iters=max_iters, tile_b=tile_b,
                                layered=layered)
@@ -174,13 +226,13 @@ def stream_step(chan, C, t, done, okf, code: NBCode, k: int, max_iters: int,
         kernel,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((N, tile_b, q), lambda i: (0, i, 0),
+            pl.BlockSpec((N, tile_b, qp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((plan.A.shape[0], q, q), lambda i: (0, 0, 0),
+            pl.BlockSpec((plan.A.shape[0], qp, qp), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((plan.E, 1, q), lambda i: (0, 0, 0),
+            pl.BlockSpec((plan.E, 1, qp), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q), lambda i: (0, 0),
+            pl.BlockSpec((1, qp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),     # C state: manual DMA
             pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
@@ -191,10 +243,10 @@ def stream_step(chan, C, t, done, okf, code: NBCode, k: int, max_iters: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((N, tile_b, q), lambda i: (0, i, 0),
+            pl.BlockSpec((N, tile_b, qp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),     # C state: manual DMA
-            pl.BlockSpec((N, tile_b, q), lambda i: (0, i, 0),
+            pl.BlockSpec((N, tile_b, qp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -204,21 +256,21 @@ def stream_step(chan, C, t, done, okf, code: NBCode, k: int, max_iters: int,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, B, q), jnp.float32),
-            jax.ShapeDtypeStruct((plan.E, B, q), jnp.float32),
-            jax.ShapeDtypeStruct((N, B, q), jnp.float32),
+            jax.ShapeDtypeStruct((N, B, qp), jnp.float32),
+            jax.ShapeDtypeStruct((plan.E, B, qp), jnp.float32),
+            jax.ShapeDtypeStruct((N, B, qp), jnp.float32),
             jax.ShapeDtypeStruct((B, 128), jnp.int32),
             jax.ShapeDtypeStruct((B, 128), jnp.int32),
             jax.ShapeDtypeStruct((B, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N, tile_b, q), jnp.float32),        # LLR totals
-            pltpu.VMEM((plan.E, tile_b, q), jnp.float32),   # c2v tile copy
+            pltpu.VMEM((N, tile_b, qp), jnp.float32),       # LLR totals
+            pltpu.VMEM((plan.E, tile_b, qp), jnp.float32),  # c2v tile copy
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         input_output_aliases={0: 0, 4: 1},
         interpret=interpret,
-    )(chan, jnp.asarray(plan.A), jnp.asarray(plan.hp), jnp.asarray(sym_in),
+    )(chan, jnp.asarray(A), jnp.asarray(hp), jnp.asarray(sym_in),
       C, t, done, okf)
     return chan_out, C_out, hard_oh, t2, d2, o2

@@ -1275,14 +1275,16 @@ def make_nb_stream_fn(code: NBCode, sim: cfg.NBSimConfig, mesh=None):
     dec = sim.decoder
     mesh = mesh or get_mesh()
     want = getattr(dec, "kernel", "auto")
-    if dec.method in ("qspa", "layered_qspa"):
+    if dec.method in ("qspa", "layered_qspa") and want == "pallas":
         from cuda_ldpc_tpu.ops import pallas_qspa
-        on_tpu = jax.default_backend() == "tpu"
-        # 'auto' compounds the two measured wins (VERDICT r4 item 3): the
-        # stream ENGINE (4.3x batch, round 3) now drives the fused KERNEL
-        # (VMEM-resident state, ops/pallas_qspa_stream) whenever it applies
-        if (want == "pallas"
-                or (want == "auto" and on_tpu and pallas_qspa.supports(code))):
+        if pallas_qspa.supports(code):
+            # Fused stream kernel: per-slot state in VMEM across k passes,
+            # device-EXACT parity — but MEASURED SLOWER than the jnp stream
+            # on the GF(64) code (35.1k vs 161.1k f/s at 2 dB, BENCH.md
+            # round 5): the kernel refills per CALL while the jnp stream
+            # refills per ITERATION, and per-iteration refill is the whole
+            # engine's win at low avgIT.  'auto' therefore keeps the jnp
+            # stream; kernel='pallas' opts in explicitly.
             return _make_nb_stream_pallas(code, sim, mesh)
     if want == "pallas":
         raise ValueError(
@@ -1396,12 +1398,12 @@ def _make_nb_stream_pallas(code: NBCode, sim: cfg.NBSimConfig, mesh):
     slot3 = batch_sharding(mesh, 3, axis_pos=1)
     flag = batch_sharding(mesh, 2, axis_pos=0)
 
+    qp = pallas_qspa_stream._lane_pad(code.q)
+
     def fresh(key, sigma):
-        """(chan [N, B, q] — logrot lanes in discrete-log order, tx [B, N])."""
+        """(chan [N, B, qp] via pack_chan, tx [B, N])."""
         L, tx = src(key, sigma)
-        if logrot:
-            L = jnp.take(L, sym, axis=2)
-        chan = L.astype(jnp.float32).transpose(1, 0, 2)
+        chan = pallas_qspa_stream.pack_chan(L, code)
         return (jax.lax.with_sharding_constraint(chan, slot3),
                 jax.lax.with_sharding_constraint(tx, flag))
 
@@ -1410,7 +1412,7 @@ def _make_nb_stream_pallas(code: NBCode, sim: cfg.NBSimConfig, mesh):
         z = jax.lax.with_sharding_constraint(
             jnp.zeros((B, 128), jnp.int32), flag)
         C0 = jax.lax.with_sharding_constraint(
-            jnp.zeros((plan.E, B, code.q), jnp.float32), slot3)
+            jnp.zeros((plan.E, B, qp), jnp.float32), slot3)
         return (chan, C0, z, z, z, tx)
 
     def _hard_syms(hard_oh):
@@ -1628,11 +1630,11 @@ def make_nb_stream_packed_fn(code: NBCode, sim: cfg.NBSimConfig,
     slot3 = batch_sharding(mesh, 3, axis_pos=1)
     flag = batch_sharding(mesh, 2, axis_pos=0)
 
+    qp = pallas_qspa_stream._lane_pad(code.q)
+
     def fresh(key, sig):
         L, tx = src(key, sig)            # _make_nb_source takes [B] sigma
-        if logrot:
-            L = jnp.take(L, jnp.asarray(plan.sym), axis=2)
-        chan = L.astype(jnp.float32).transpose(1, 0, 2)
+        chan = pallas_qspa_stream.pack_chan(L, code)
         return (jax.lax.with_sharding_constraint(chan, slot3),
                 jax.lax.with_sharding_constraint(tx, flag))
 
@@ -1641,7 +1643,7 @@ def make_nb_stream_packed_fn(code: NBCode, sim: cfg.NBSimConfig,
         z = jax.lax.with_sharding_constraint(
             jnp.zeros((B, 128), jnp.int32), flag)
         C0 = jax.lax.with_sharding_constraint(
-            jnp.zeros((plan.E, B, code.q), jnp.float32), slot3)
+            jnp.zeros((plan.E, B, qp), jnp.float32), slot3)
         return (chan, C0, z, z, z, tx, pid0.astype(jnp.int32))
 
     def _hard_syms(hard_oh):

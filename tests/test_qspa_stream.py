@@ -50,12 +50,9 @@ def _ref_stream(code, L, k, max_iters, method):
 
 def _run_kernel(code, L, k, max_iters, layered, plan):
     B = L.shape[0]
-    logrot = plan.scheme == "logrot"
-    chan = jnp.asarray(L, jnp.float32)
-    if logrot:
-        chan = jnp.take(chan, jnp.asarray(plan.sym), axis=2)
-    chan = chan.transpose(1, 0, 2)
-    C0 = jnp.zeros((plan.E, B, code.q), jnp.float32)
+    chan = pallas_qspa_stream.pack_chan(jnp.asarray(L), code)
+    qp = pallas_qspa_stream._lane_pad(code.q)
+    C0 = jnp.zeros((plan.E, B, qp), jnp.float32)
     z = jnp.zeros((B, 128), jnp.int32)
     tile = min(8, B)
     out = pallas_qspa_stream.stream_step(
@@ -101,8 +98,9 @@ def test_stream_step_state_persists():
     B, max_it = 8, 6
     L = _llr(code, B, 0.95, seed=11)
     one = _run_kernel(code, L, 4, max_it, False, plan)
-    chan = jnp.asarray(L, jnp.float32).transpose(1, 0, 2)
-    C = jnp.zeros((plan.E, B, code.q), jnp.float32)
+    chan = pallas_qspa_stream.pack_chan(jnp.asarray(L), code)
+    qp = pallas_qspa_stream._lane_pad(code.q)
+    C = jnp.zeros((plan.E, B, qp), jnp.float32)
     t = d = o = jnp.zeros((B, 128), jnp.int32)
     step = functools.partial(pallas_qspa_stream.stream_step, code=code, k=2,
                              max_iters=max_it, tile_b=8, interpret=True)

@@ -26,8 +26,13 @@ def _bin_cfg(tmpdir_seed=0):
 
 def test_binary_stream_packed_sweep(tmp_path):
     ckpt = str(tmp_path / "ck.json")
+    # 1-device mesh: jax 0.9's io_callback-based INTERPRET pallas deadlocks
+    # under an 8-device shard_map with sequential donated calls (CPU-only
+    # artifact; the multi-device shard_map path is covered by
+    # tests/test_shard.py and compiles to real Mosaic on TPU)
+    mesh = sim.get_mesh(jax.devices()[:1])
     with pltpu.force_tpu_interpret_mode():
-        res = sim.run_binary_stream_packed(_bin_cfg(), quiet=True,
+        res = sim.run_binary_stream_packed(_bin_cfg(), mesh=mesh, quiet=True,
                                            checkpoint=ckpt)
     assert len(res.rows) == 2
     for r in res.rows:
@@ -40,7 +45,7 @@ def test_binary_stream_packed_sweep(tmp_path):
     # 6 dB should not be worse than 4 dB by more than MC noise allows here
     assert res.rows[1]["fer"] <= res.rows[0]["fer"] + 0.25
     # finished sweep re-run: short-circuits to the checkpointed rows
-    res2 = sim.run_binary_stream_packed(_bin_cfg(), quiet=True,
+    res2 = sim.run_binary_stream_packed(_bin_cfg(), mesh=mesh, quiet=True,
                                         checkpoint=ckpt)
     assert [r["frames"] for r in res2.rows] == \
         [r["frames"] for r in res.rows]

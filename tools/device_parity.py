@@ -197,10 +197,11 @@ def nb_stream_cases():
     L = demod.nb_channel_llr(jax.random.PRNGKey(17), tx, constellation(2),
                              sigma, batch=B, q=code.q)
     rows = []
+    qp = pallas_qspa_stream._lane_pad(code.q)
     for meth in ("qspa", "layered_qspa"):
         layered = meth == "layered_qspa"
-        chan = jnp.asarray(L, jnp.float32).transpose(1, 0, 2)
-        C = jnp.zeros((plan.E, B, code.q), jnp.float32)
+        chan = pallas_qspa_stream.pack_chan(jnp.asarray(L), code)
+        C = jnp.zeros((plan.E, B, qp), jnp.float32)
         z = jnp.zeros((B, 128), jnp.int32)
         step = jax.jit(functools.partial(
             pallas_qspa_stream.stream_step, code=code, k=k, max_iters=max_it,

@@ -44,12 +44,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TB, Z = 8, 1280
-K = 2000                 # fori_loop steps per call
+# Per-call dispatch through the relay costs a FLAT ~26 ms (measured: K=2000
+# of ANY op returns 26-28 ms — pure dispatch).  Rates are therefore taken
+# from the MARGINAL time between two chain lengths, cancelling dispatch.
+K_LO, K_HI = 50_000, 250_000
 SIGN = np.int32(-2**31)
 MAG = np.int32(0x7FFFFFFF)
 
 
-def _chain(op_builder, n_par: int):
+def _chain(op_builder, n_par: int, K: int):
     """Kernel: n_par independent dependent-chains of the op, K steps each."""
     def kernel(x_ref, o_ref):
         xs = [x_ref[...] * (1.0 + 0.125 * i) for i in range(n_par)]
@@ -71,11 +74,12 @@ def _ops_per_step(name: str) -> int:
 
 
 def _builder(name: str):
-    big = jnp.float32(3.4e38)
     if name == "add":
         return lambda x, i: x + 1.0000001
     if name == "min":
-        return lambda x, i: jnp.minimum(x * 1.0000001 + 1e-30, big)
+        # plain Python floats only: jnp scalars become captured constants,
+        # which pallas_call rejects
+        return lambda x, i: jnp.minimum(x * 1.0000001 + 1e-30, 3.4e38)
     if name == "cmp_sel":
         def f(x, i):
             m = x < 1.5
@@ -114,8 +118,8 @@ def _builder(name: str):
     raise ValueError(name)
 
 
-def measure(name: str, n_par: int, reps: int = 6) -> dict:
-    kernel = _chain(_builder(name), n_par)
+def _timed(name, n_par, K, reps):
+    kernel = _chain(_builder(name), n_par, K)
     fn = jax.jit(lambda x: pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec((TB, Z), lambda: (0, 0),
@@ -130,17 +134,26 @@ def measure(name: str, n_par: int, reps: int = 6) -> dict:
     t0 = time.perf_counter()
     for _ in range(reps):
         np.asarray(fn(x))
-    dt = (time.perf_counter() - t0) / reps
+    return (time.perf_counter() - t0) / reps
+
+
+def measure(name: str, n_par: int, reps: int = 4) -> dict:
+    dt_lo = _timed(name, n_par, K_LO, reps)
+    dt_hi = _timed(name, n_par, K_HI, reps)
+    dk = K_HI - K_LO
+    marg = (dt_hi - dt_lo) / dk            # seconds per chain step
     lanes = TB * Z * n_par
-    ops = lanes * K * _ops_per_step(name)
-    return {"op": name, "par": n_par, "call_ms": round(dt * 1e3, 3),
-            "ops_per_s": f"{ops / dt:.3e}",
-            "ns_per_lane_step": round(dt / (K) * 1e9 / 1, 2)}
+    rate = lanes * _ops_per_step(name) / marg if marg > 0 else float("nan")
+    return {"op": name, "par": n_par,
+            "call_ms_lo": round(dt_lo * 1e3, 3),
+            "call_ms_hi": round(dt_hi * 1e3, 3),
+            "marginal_ns_per_step": round(marg * 1e9, 3),
+            "ops_per_s": f"{rate:.3e}"}
 
 
 def main() -> int:
     print(f"# op-rate probe, backend={jax.default_backend()}, "
-          f"tile [{TB},{Z}] f32, K={K}", flush=True)
+          f"tile [{TB},{Z}] f32, marginal K={K_LO}->{K_HI}", flush=True)
     names = ["add", "min", "cmp_sel", "sel", "bitand", "bitxor", "roll",
              "minsum_mix"]
     for name in names:
