@@ -165,16 +165,25 @@ def _syndrome_ok(g: _Graph, hard: jax.Array) -> jax.Array:
 def _perm_fwd(x, h_onehot):
     """y[k] = x[h*k] as a one-hot contraction on the MXU (TPU gathers along q
     are serial and dominate the runtime; a [q, q] one-hot matmul is ~free).
-    x: [B, M', dc, q(v)]; h_onehot: [M', dc, q(k), q(v)] -> [B, M', dc, q(k)]."""
+    x: [B, M', dc, q(v)]; h_onehot: [M', dc, q(k), q(v)] -> [B, M', dc, q(k)].
+
+    precision=HIGHEST makes the permutation EXACT on device (one 1.0 times a
+    3xbf16-decomposed f32 recovers all 24 mantissa bits; the default bf16
+    matmul rounds the permuted values, which cascades through the max-domain
+    decoders' argmax->xor-shift chains and was measured as device-vs-jnp
+    convergence divergence — VALIDATION.md round 5)."""
     return jnp.einsum("bmdv,mdkv->bmdk", x, h_onehot,
-                      preferred_element_type=x.dtype)
+                      preferred_element_type=x.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _perm_inv(x, h_onehot):
     """y[v] = x[h^-1 v]  (same one-hot tensor, transposed contraction).
-    x: [B, M', dc, q(s)] -> [B, M', dc, q(v)] with y[v] = x[s] where v=h*s."""
+    x: [B, M', dc, q(s)] -> [B, M', dc, q(v)] with y[v] = x[s] where v=h*s.
+    precision=HIGHEST: see _perm_fwd."""
     return jnp.einsum("bmds,mdsv->bmdv", x, h_onehot,
-                      preferred_element_type=x.dtype)
+                      preferred_element_type=x.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _xor_shift_const(x: jax.Array, j: int) -> jax.Array:

@@ -143,10 +143,10 @@ def _vmem_bytes(plan: _Plan, tile_b: int, tmm: bool) -> int:
 
 
 def pick_tile_b(code: NBCode, tmm: bool, budget: int = 10 << 20) -> int:
-    plan = make_plan(code)
-    for tb in (32, 16, 8):
-        if _vmem_bytes(plan, tb, tmm) <= budget:
-            return tb
+    """Measured Mosaic scoped-VMEM cap (2026-08-21, BDS GF(64)): the
+    unrolled per-row EMS temporaries cost ~3.5x the state model — tile 32
+    compiles to a 34.55 MB scoped allocation against the 16 MB limit, so
+    the max-domain kernels run at tile 8 (8.6 MB measured-equivalent)."""
     return 8
 
 

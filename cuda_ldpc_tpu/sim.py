@@ -297,6 +297,20 @@ def _run_sweep(kind: str, sweep: cfg.SweepConfig, units_per_frame: int,
 # binary simulator
 # --------------------------------------------------------------------------
 
+# Debug/CI switch: route every fused-kernel dispatch through the
+# callback-free Pallas interpreter (pl.pallas_call(interpret=True)) so
+# CPU-only environments can exercise the kernel='pallas' paths end-to-end.
+# Do NOT use pltpu.force_tpu_interpret_mode for this: its io_callback-based
+# TPU simulator deadlocks on its effect tokens under multi-device shard_map
+# and with sequential calls on this jax (0.9) — found the hard way; the
+# plain interpreter has no callbacks and is race-free.
+PALLAS_INTERPRET = False
+
+
+def _ikw() -> dict:
+    return {"interpret": True} if PALLAS_INTERPRET else {}
+
+
 def _pick_binary_decode(code: QCBinaryCode, dec_cfg: cfg.BinaryDecoderConfig):
     """Kernel dispatch: fused Pallas on TPU when the code's Z suits it.
     Both rules (minsum + bp sum-product) have fused kernels; the returned
@@ -316,7 +330,7 @@ def _pick_binary_decode(code: QCBinaryCode, dec_cfg: cfg.BinaryDecoderConfig):
                 f"pallas kernel unsupported for {code.name} (Z={code.Z})")
         base = (pallas_minsum.decode_layered if layered
                 else pallas_minsum.decode_flooding)
-        fn = functools.partial(base, rule=dec_cfg.rule)
+        fn = functools.partial(base, rule=dec_cfg.rule, **_ikw())
         fn.is_pallas = True
         return fn
     base = minsum.decode_layered if layered else minsum.decode_flooding
@@ -639,11 +653,11 @@ def _make_binary_stream_pallas(code: QCBinaryCode, sim: cfg.BinarySimConfig,
     step = functools.partial(
         pallas_minsum_stream.stream_step, code=code, k=sim.stream_steps,
         max_iters=max_it, alpha=dec.alpha, beta=dec.beta, check=dec.check,
-        rule=dec.rule, layered=layered, tile_b=tile_b)
+        rule=dec.rule, layered=layered, tile_b=tile_b, **_ikw())
     drain_step = functools.partial(
         pallas_minsum_stream.stream_step, code=code, k=max_it + 1,
         max_iters=max_it, alpha=dec.alpha, beta=dec.beta, check=dec.check,
-        rule=dec.rule, layered=layered, tile_b=tile_b)
+        rule=dec.rule, layered=layered, tile_b=tile_b, **_ikw())
     if n_dev > 1:
         from cuda_ldpc_tpu.parallel import shard_stream_step
         step = shard_stream_step(step, mesh, n_state3=2, n_flags=3)
@@ -1108,7 +1122,7 @@ def _nb_decoder_fn(code: NBCode, dec: cfg.NBDecoderConfig, mesh=None):
     n_devices = mesh.devices.size if mesh is not None else 1
 
     def fused(base):
-        fn = lambda L: base(L, code, dec.max_iters)
+        fn = lambda L: base(L, code, dec.max_iters, **_ikw())
         if n_devices > 1:
             from cuda_ldpc_tpu.parallel import shard_nb_decode
             fn = shard_nb_decode(fn, mesh)
@@ -1147,23 +1161,24 @@ def _nb_decoder_fn(code: NBCode, dec: cfg.NBDecoderConfig, mesh=None):
         if want == "pallas":
             raise ValueError(f"no pallas qspa kernel supports {code.name} "
                              f"with method={dec.method!r} (q={code.q})")
-    if dec.method in ("ems", "tmm", "layered_tmm") and want != "jnp":
+    if dec.method in ("ems", "tmm", "layered_tmm") and want == "pallas":
         # fused max-domain kernels (ops/pallas_nbms): the reference's
         # committed default decoder (EMS Nm=2/Nc=2, define.h:37-39) and the
-        # TMM family on q <= 64 codes
+        # TMM family on q <= 64 codes.  OPT-IN only: measured 4-6x SLOWER
+        # than the jnp cores on device (BENCH.md round 5 — the per-frame
+        # XOR-shifts decompose into thousands of tiny [TB, q] x [q, q]
+        # matmuls whose issue overhead dwarfs the VMEM-residency saving at
+        # these state sizes), so 'auto' keeps jnp.
         from cuda_ldpc_tpu.ops import pallas_nbms
-        on_tpu = jax.default_backend() == "tpu"
-        ok = pallas_nbms.supports(code, nm=dec.nm, nc=dec.nc)
-        if ok and (want == "pallas" or (want == "auto" and on_tpu)):
+        if pallas_nbms.supports(code, nm=dec.nm, nc=dec.nc):
             return fused({"ems": pallas_nbms.decode_ems,
                           "tmm": pallas_nbms.decode_tmm,
                           "layered_tmm": pallas_nbms.decode_layered_tmm
                           }[dec.method])
-        if want == "pallas":
-            raise ValueError(
-                f"no fused max-domain kernel supports {code.name} with "
-                f"method={dec.method!r} Nm={dec.nm} Nc={dec.nc} "
-                "(pallas_nbms: q <= 64, Nm=2/Nc=2)")
+        raise ValueError(
+            f"no fused max-domain kernel supports {code.name} with "
+            f"method={dec.method!r} Nm={dec.nm} Nc={dec.nc} "
+            "(pallas_nbms: q <= 64, Nm=2/Nc=2)")
     return lambda L: nb_decode.decode(L, code, dec.method, dec.max_iters,
                                       nm=dec.nm, nc=dec.nc)
 
@@ -1386,10 +1401,10 @@ def _make_nb_stream_pallas(code: NBCode, sim: cfg.NBSimConfig, mesh):
     sym = jnp.asarray(plan.sym, jnp.int32) if logrot else None
     step = functools.partial(pallas_qspa_stream.stream_step, code=code,
                              k=sim.stream_steps, max_iters=max_it,
-                             layered=layered, tile_b=tile_b)
+                             layered=layered, tile_b=tile_b, **_ikw())
     drain_step = functools.partial(pallas_qspa_stream.stream_step, code=code,
                                    k=max_it + 1, max_iters=max_it,
-                                   layered=layered, tile_b=tile_b)
+                                   layered=layered, tile_b=tile_b, **_ikw())
     if n_dev > 1:
         from cuda_ldpc_tpu.parallel import shard_stream_step
         step = shard_stream_step(step, mesh, n_state3=2, n_flags=3)
@@ -1473,18 +1488,134 @@ def make_binary_stream_packed_fn(code: QCBinaryCode,
       run_fn(state, key, refill_pid [B])  -> (state, counters [S, 6])
       drain_fn(state, key)                -> (state, counters [S, 6])
     counters rows = (frames, err_frames, err_units, false, alarm, iter_sum)
-    segment-summed by each finished slot's point id."""
-    from cuda_ldpc_tpu.ops import pallas_minsum_stream
-    from cuda_ldpc_tpu.ops.pallas_minsum import _lane_pad, supports
+    segment-summed by each finished slot's point id.
+
+    kernel='auto'/'jnp' drives the jnp BinaryCore with per-ITERATION refill
+    (the measured-fastest stream configuration); kernel='pallas' drives the
+    fused stream kernel with per-call refill."""
     dec = sim.decoder
     if sim.tx == "random" and dec.check == "zero":
         raise ValueError("tx='random' needs check='syndrome'")
     if dec.check == "none":
         raise ValueError("engine='stream' needs a per-frame check")
-    if not supports(code):
-        raise ValueError(f"packed stream runs the fused kernel only; "
-                         f"unsupported for {code.name} (Z={code.Z})")
     mesh = mesh or get_mesh()
+    if getattr(dec, "kernel", "auto") != "pallas":
+        return _make_binary_stream_packed_jnp(code, sim, sigmas, mesh)
+    return _make_binary_stream_packed_pallas(code, sim, sigmas, mesh)
+
+
+def _make_binary_stream_packed_jnp(code: QCBinaryCode,
+                                   sim: cfg.BinarySimConfig,
+                                   sigmas: np.ndarray, mesh):
+    """jnp-core packed stream (binary): per-iteration refill with per-slot
+    point ids — slots refilled during a call adopt the point id the driver
+    assigned that call (refill_pid)."""
+    dec = sim.decoder
+    B = sim.batch_per_device * mesh.devices.size
+    S = len(sigmas)
+    sig_table = jnp.asarray(np.asarray(sigmas, np.float32))
+    shard = batch_sharding(mesh, 3)
+    flag1 = batch_sharding(mesh, 1)
+    core = minsum.build_core(code, rule=dec.rule, schedule=dec.schedule,
+                             alpha=dec.alpha, beta=dec.beta,
+                             msg_dtype=jnp.dtype(dec.msg_dtype))
+    msg_cols = code.L - code.J if dec.message_only else code.L
+    enc = None
+    if sim.tx == "random":
+        from cuda_ldpc_tpu.models.encoder import BinaryEncoder
+        enc = BinaryEncoder.from_code(code)
+    bp = dec.rule == "bp"
+    max_it = dec.max_iters
+    n_steps = sim.stream_steps
+
+    def fresh(key, sig):
+        if enc is None:
+            cw = jnp.zeros((B, code.L, code.Z), jnp.float32)
+        else:
+            kmsg, key = jax.random.split(key)
+            msg = jax.random.bernoulli(
+                kmsg, 0.5, (B, enc.k_eff)).astype(jnp.float32)
+            cw = enc.encode_jax(msg).reshape(B, code.L, code.Z)
+            cw = cw.astype(jnp.float32)
+        x = 1.0 - 2.0 * cw
+        if sim.add_noise:
+            chan = x + sig[:, None, None] * jax.random.normal(
+                key, x.shape, dtype=jnp.float32)
+        else:
+            chan = x
+        if bp:
+            chan = chan * (2.0 / (sig * sig))[:, None, None]
+        chan = jax.lax.with_sharding_constraint(chan, shard)
+        return (core.init(chan), cw.astype(jnp.int8))
+
+    def init_fn(key, pid0):
+        pid0 = jax.lax.with_sharding_constraint(pid0.astype(jnp.int32),
+                                                flag1)
+        carry = fresh(key, sig_table[pid0])
+        return (carry, jnp.zeros((B,), jnp.int32), jnp.ones((B,), bool),
+                pid0)
+
+    def _inner(refill: bool):
+        def inner(i, val):
+            ((carry, cw), t, alive, pid), counters, key, refill_pid = val
+            hard, totals = core.decide(carry)
+            ok = minsum._check(code, hard, dec.check)
+            done = alive & (ok | (t >= max_it))
+            errs = hard[:, :msg_cols].astype(jnp.int32) \
+                != cw[:, :msg_cols].astype(jnp.int32)
+            errbits = jnp.sum(errs, axis=(1, 2))
+            has_err = errbits > 0
+            di = done.astype(jnp.int32)
+            per = jnp.stack([di, di * has_err.astype(jnp.int32),
+                             di * errbits,
+                             di * (has_err & ok).astype(jnp.int32),
+                             di * (~has_err & ~ok).astype(jnp.int32),
+                             di * t], axis=1)
+            counters = counters + jax.ops.segment_sum(per, pid,
+                                                      num_segments=S)
+            cont = alive & ~done
+            carry = core.step(carry, totals, cont)
+            if refill:
+                pid = jnp.where(done, refill_pid, pid)
+                new = fresh(jax.random.fold_in(key, i), sig_table[pid])
+                carry, cw = jax.tree_util.tree_map(
+                    lambda n, o: nb_decode._freeze(done, n, o), new,
+                    (carry, cw))
+                t = jnp.where(done, 0, t + 1)
+            else:
+                alive = cont
+                t = jnp.where(cont, t + 1, t)
+            return ((carry, cw), t, alive, pid), counters, key, refill_pid
+        return inner
+
+    def run_fn(state, key, refill_pid):
+        val = (state, jnp.zeros((S, 6), jnp.int32), key,
+               refill_pid.astype(jnp.int32))
+        state, counters, _, _ = jax.lax.fori_loop(0, n_steps, _inner(True),
+                                                  val)
+        return state, counters
+
+    def drain_fn(state, key):
+        val = (state, jnp.zeros((S, 6), jnp.int32), key,
+               jnp.zeros((B,), jnp.int32))
+        state, counters, _, _ = jax.lax.fori_loop(0, max_it + 1,
+                                                  _inner(False), val)
+        return state, counters
+
+    return (jax.jit(init_fn), jax.jit(run_fn, donate_argnums=0),
+            jax.jit(drain_fn, donate_argnums=0), B)
+
+
+def _make_binary_stream_packed_pallas(code: QCBinaryCode,
+                                      sim: cfg.BinarySimConfig,
+                                      sigmas: np.ndarray, mesh):
+    """Fused-kernel packed stream (binary): per-call refill."""
+    from cuda_ldpc_tpu.ops import pallas_minsum_stream
+    from cuda_ldpc_tpu.ops.pallas_minsum import _lane_pad, supports
+    dec = sim.decoder
+    if not supports(code):
+        raise ValueError(f"kernel='pallas' packed stream unsupported for "
+                         f"{code.name} (Z={code.Z})")
     tile_b = 8
     n_dev = mesh.devices.size
     if sim.batch_per_device % tile_b:
@@ -1504,11 +1635,11 @@ def make_binary_stream_packed_fn(code: QCBinaryCode,
     step = functools.partial(
         pallas_minsum_stream.stream_step, code=code, k=sim.stream_steps,
         max_iters=max_it, alpha=dec.alpha, beta=dec.beta, check=dec.check,
-        rule=dec.rule, layered=layered, tile_b=tile_b)
+        rule=dec.rule, layered=layered, tile_b=tile_b, **_ikw())
     drain_step = functools.partial(
         pallas_minsum_stream.stream_step, code=code, k=max_it + 1,
         max_iters=max_it, alpha=dec.alpha, beta=dec.beta, check=dec.check,
-        rule=dec.rule, layered=layered, tile_b=tile_b)
+        rule=dec.rule, layered=layered, tile_b=tile_b, **_ikw())
     if n_dev > 1:
         from cuda_ldpc_tpu.parallel import shard_stream_step
         step = shard_stream_step(step, mesh, n_state3=2, n_flags=3)
@@ -1590,17 +1721,105 @@ def make_binary_stream_packed_fn(code: QCBinaryCode,
 
 def make_nb_stream_packed_fn(code: NBCode, sim: cfg.NBSimConfig,
                              sigmas: np.ndarray, mesh=None):
-    """Packed multi-SNR continuous batching (non-binary): the fused QSPA
-    stream kernel with per-slot SNR-point ids (see
-    make_binary_stream_packed_fn for the contract)."""
+    """Packed multi-SNR continuous batching (non-binary): per-slot SNR-point
+    ids over the stream engine (see make_binary_stream_packed_fn for the
+    contract).  kernel='auto'/'jnp' drives the jnp DecoderCore with
+    per-ITERATION refill (any method — the measured-fastest configuration);
+    kernel='pallas' drives the fused QSPA stream kernel (per-call refill)."""
+    mesh = mesh or get_mesh()
+    if getattr(sim.decoder, "kernel", "auto") != "pallas":
+        return _make_nb_stream_packed_jnp(code, sim, sigmas, mesh)
+    return _make_nb_stream_packed_pallas(code, sim, sigmas, mesh)
+
+
+def _make_nb_stream_packed_jnp(code: NBCode, sim: cfg.NBSimConfig,
+                               sigmas: np.ndarray, mesh):
+    """jnp-core packed stream (NB): per-iteration refill with per-slot
+    point ids."""
+    dec = sim.decoder
+    B = sim.batch_per_device * mesh.devices.size
+    S = len(sigmas)
+    sig_table = jnp.asarray(np.asarray(sigmas, np.float32))
+    shard = batch_sharding(mesh, 3)
+    flag1 = batch_sharding(mesh, 1)
+    pts = constellation(sim.n_qam)
+    src = _make_nb_source(code, sim, pts, B)
+    core = nb_decode.build_core(code, dec.method, nm=dec.nm, nc=dec.nc)
+    g = core.g
+    max_it = dec.max_iters
+    n_steps = sim.stream_steps
+
+    def fresh(key, sig):
+        L, tx = src(key, sig)
+        L = jax.lax.with_sharding_constraint(L, shard)
+        return (core.init(L), tx)
+
+    def init_fn(key, pid0):
+        pid0 = jax.lax.with_sharding_constraint(pid0.astype(jnp.int32),
+                                                flag1)
+        carry = fresh(key, sig_table[pid0])
+        return (carry, jnp.zeros((B,), jnp.int32), jnp.ones((B,), bool),
+                pid0)
+
+    def _inner(refill: bool):
+        def inner(i, val):
+            ((carry, tx), t, alive, pid), counters, key, refill_pid = val
+            hard, llr = core.decide(carry)
+            ok = nb_decode._syndrome_ok(g, hard)
+            done = alive & (ok | (t >= max_it))
+            errsyms = jnp.sum((hard != tx).astype(jnp.int32), axis=1)
+            has_err = errsyms > 0
+            di = done.astype(jnp.int32)
+            per = jnp.stack([di, di * has_err.astype(jnp.int32),
+                             di * errsyms,
+                             di * (has_err & ok).astype(jnp.int32),
+                             di * (~has_err & ~ok).astype(jnp.int32),
+                             di * t], axis=1)
+            counters = counters + jax.ops.segment_sum(per, pid,
+                                                      num_segments=S)
+            cont = alive & ~done
+            carry = core.step(carry, llr, cont)
+            if refill:
+                pid = jnp.where(done, refill_pid, pid)
+                new = fresh(jax.random.fold_in(key, i), sig_table[pid])
+                carry, tx = jax.tree_util.tree_map(
+                    lambda n, o: nb_decode._freeze(done, n, o), new,
+                    (carry, tx))
+                t = jnp.where(done, 0, t + 1)
+            else:
+                alive = cont
+                t = jnp.where(cont, t + 1, t)
+            return ((carry, tx), t, alive, pid), counters, key, refill_pid
+        return inner
+
+    def run_fn(state, key, refill_pid):
+        val = (state, jnp.zeros((S, 6), jnp.int32), key,
+               refill_pid.astype(jnp.int32))
+        state, counters, _, _ = jax.lax.fori_loop(0, n_steps, _inner(True),
+                                                  val)
+        return state, counters
+
+    def drain_fn(state, key):
+        val = (state, jnp.zeros((S, 6), jnp.int32), key,
+               jnp.zeros((B,), jnp.int32))
+        state, counters, _, _ = jax.lax.fori_loop(0, max_it + 1,
+                                                  _inner(False), val)
+        return state, counters
+
+    return (jax.jit(init_fn), jax.jit(run_fn, donate_argnums=0),
+            jax.jit(drain_fn, donate_argnums=0), B)
+
+
+def _make_nb_stream_packed_pallas(code: NBCode, sim: cfg.NBSimConfig,
+                                  sigmas: np.ndarray, mesh):
+    """Fused-kernel packed stream (NB): per-call refill."""
     from cuda_ldpc_tpu.ops import pallas_qspa, pallas_qspa_stream
     dec = sim.decoder
     if dec.method not in ("qspa", "layered_qspa"):
-        raise ValueError("packed stream supports method='qspa'/'layered_qspa'"
-                         " (the fused stream kernel)")
+        raise ValueError("kernel='pallas' packed stream supports "
+                         "method='qspa'/'layered_qspa'")
     if not pallas_qspa.supports(code):
         raise ValueError(f"fused stream kernel unsupported for {code.name}")
-    mesh = mesh or get_mesh()
     plan = pallas_qspa.make_plan(code)
     tile_b = pallas_qspa_stream.pick_tile_b(code)
     n_dev = mesh.devices.size
@@ -1618,10 +1837,10 @@ def make_nb_stream_packed_fn(code: NBCode, sim: cfg.NBSimConfig,
     sym = jnp.asarray(plan.sym, jnp.int32) if logrot else None
     step = functools.partial(pallas_qspa_stream.stream_step, code=code,
                              k=sim.stream_steps, max_iters=max_it,
-                             layered=layered, tile_b=tile_b)
+                             layered=layered, tile_b=tile_b, **_ikw())
     drain_step = functools.partial(pallas_qspa_stream.stream_step, code=code,
                                    k=max_it + 1, max_iters=max_it,
-                                   layered=layered, tile_b=tile_b)
+                                   layered=layered, tile_b=tile_b, **_ikw())
     if n_dev > 1:
         from cuda_ldpc_tpu.parallel import shard_stream_step
         step = shard_stream_step(step, mesh, n_state3=2, n_flags=3)

@@ -116,8 +116,6 @@ def test_sim_stream_dispatch_and_counters():
     stream engine refills finished slots every ITERATION while the fused
     engine refills per CALL, so their frame tallies are not comparable;
     loop-level parity of the kernel itself is test_stream_step_matches_core.)"""
-    from jax.experimental.pallas import tpu as pltpu
-
     from cuda_ldpc_tpu import config as cfg, sim
     code = NBCode.from_registry("BDS.576.288.GF.64")
     scfg = cfg.NBSimConfig(
@@ -127,13 +125,17 @@ def test_sim_stream_dispatch_and_counters():
         batch_per_device=16, engine="stream", stream_steps=3)
     key = jax.random.PRNGKey(0)
     sigma = 0.9
-    with pltpu.force_tpu_interpret_mode():
+    old = sim.PALLAS_INTERPRET
+    sim.PALLAS_INTERPRET = True
+    try:
         init_fn, run_fn, drain_fn, B = sim.make_nb_stream_fn(
             code, scfg, sim.get_mesh(jax.devices()[:1]))
         assert B == 16
         state = init_fn(key, sigma)
         state, c1 = run_fn(state, jax.random.fold_in(key, 1), sigma)
         state, c2 = drain_fn(state, jax.random.fold_in(key, 2), sigma)
+    finally:
+        sim.PALLAS_INTERPRET = old
     c1, c2 = np.asarray(c1), np.asarray(c2)
     # at sigma=0.9 every frame converges within the budget: run counts the
     # slots that finished inside its 3 passes, the refilled slots finish in

@@ -111,14 +111,14 @@ def test_stream_step_shard_map_parity(mesh):
 
 def test_sim_dispatch_wraps_on_multidevice(mesh, monkeypatch):
     """kernel='pallas' + an 8-device mesh end-to-end through make_binary_step
-    (interpret forced since the backend is CPU)."""
-    from jax.experimental.pallas import tpu as pltpu
+    (sim.PALLAS_INTERPRET routes the fused dispatch through the callback-free
+    interpreter on the CPU backend)."""
+    monkeypatch.setattr(sim, "PALLAS_INTERPRET", True)
     scfg = cfg.BinarySimConfig(
         code="J4_L24_Z96", batch_per_device=2,
         decoder=cfg.BinaryDecoderConfig(max_iters=4, kernel="pallas"))
-    with pltpu.force_tpu_interpret_mode():
-        fn, B = sim.make_binary_step(QCBinaryCode.from_registry("J4_L24_Z96"),
-                                     scfg, mesh)
-        assert B == 16
-        out = np.asarray(fn(jax.random.PRNGKey(0), 0.7))
+    fn, B = sim.make_binary_step(QCBinaryCode.from_registry("J4_L24_Z96"),
+                                 scfg, mesh)
+    assert B == 16
+    out = np.asarray(fn(jax.random.PRNGKey(0), 0.7))
     assert out.shape == (5,) and out[1] <= B

@@ -47,20 +47,22 @@ def worker(coordinator: str, num_procs: int, pid: int, dev_per_proc: int) -> int
         batch_per_device=4)
     res = sim.run_binary_sweep(simcfg, mesh=mesh, quiet=pid != 0)
 
-    # Fused-kernel path over the SAME multi-process mesh: kernel='pallas'
-    # routes through parallel/shard.shard_binary_decode (shard_map partitions
-    # the pallas_call per device; interpret mode stands in for Mosaic on the
-    # CPU backend) — validates the multi-chip fast path end-to-end.
+    # Fused-kernel sweep over the SAME multi-process mesh: kernel='pallas'
+    # routes through parallel/shard.shard_binary_decode (shard_map
+    # partitions the pallas_call per device), with sim.PALLAS_INTERPRET
+    # standing in for Mosaic on the CPU backend (the callback-free
+    # interpreter; pltpu.force_tpu_interpret_mode's simulator deadlocks
+    # under multi-device shard_map — see sim.PALLAS_INTERPRET).
     import dataclasses
 
-    from jax.experimental.pallas import tpu as pltpu
+    sim.PALLAS_INTERPRET = True
     fused_cfg = dataclasses.replace(
         simcfg,
         decoder=dataclasses.replace(simcfg.decoder, kernel="pallas",
                                     max_iters=4),
         sweep=dataclasses.replace(simcfg.sweep, snr_stop=3.6, max_frames=64))
-    with pltpu.force_tpu_interpret_mode():
-        res2 = sim.run_binary_sweep(fused_cfg, mesh=mesh, quiet=pid != 0)
+    res2 = sim.run_binary_sweep(fused_cfg, mesh=mesh, quiet=pid != 0)
+    sim.PALLAS_INTERPRET = False
 
     if pid == 0:
         total = sum(r["frames"] for r in res.rows)
