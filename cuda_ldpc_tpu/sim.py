@@ -1966,6 +1966,7 @@ def _run_stream_packed(kind: str, sweep: cfg.SweepConfig,
     t_last = time.perf_counter()
     t_ckpt = t_last
     first = True
+    consumed = 0
 
     def consume(out, timed=True):
         nonlocal t_last
@@ -2015,6 +2016,11 @@ def _run_stream_packed(kind: str, sweep: cfg.SweepConfig,
         if pending is not None:
             consume(pending, timed=not first)
             first = False
+            consumed += 1
+            if (_STREAM_TEST_INTERRUPT is not None and nxt is not None
+                    and consumed >= _STREAM_TEST_INTERRUPT):
+                save_packed(nxt, ci)
+                raise KeyboardInterrupt("packed stream test interrupt")
             now = time.perf_counter()
             if nxt is not None and now - t_ckpt >= sweep.stream_ckpt_s:
                 save_packed(nxt, ci)

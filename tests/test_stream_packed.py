@@ -132,6 +132,42 @@ def test_nb_stream_packed_jnp_factory():
     assert (tot[:, 1] <= tot[:, 0]).all()
 
 
+def test_packed_stream_kill_resume(tmp_path):
+    """Interrupt mid-sweep after N consumed calls, resume from the
+    checkpoint: no started frame is lost or double-counted (the resumed
+    run completes every point's stop rule; frames never decrease)."""
+    ckpt = str(tmp_path / "kr.json")
+    scfg = cfg.BinarySimConfig(
+        code="J4_L24_Z96",
+        decoder=cfg.BinaryDecoderConfig(max_iters=3, check="zero",
+                                        kernel="auto"),
+        sweep=cfg.SweepConfig(snr_start=4.0, snr_step=2.0, snr_stop=6.0,
+                              snr_type="ebn0", least_error_frames=1,
+                              least_test_frames=64, max_frames=256,
+                              display_step=10**9, stream_ckpt_s=10**9),
+        batch_per_device=4, engine="stream", stream_steps=2)
+    mesh = sim.get_mesh(jax.devices()[:2])
+    sim._STREAM_TEST_INTERRUPT = 2
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            sim.run_binary_stream_packed(scfg, mesh=mesh, quiet=True,
+                                         checkpoint=ckpt)
+    finally:
+        sim._STREAM_TEST_INTERRUPT = None
+    import json
+    saved = json.load(open(ckpt))["stream_packed"]
+    frames_at_kill = sum(d["frames"] for d in saved["stats"])
+    assert frames_at_kill > 0
+    res = sim.run_binary_stream_packed(scfg, mesh=mesh, quiet=True,
+                                       checkpoint=ckpt)
+    assert len(res.rows) == 2
+    total = sum(r["frames"] for r in res.rows)
+    assert total >= frames_at_kill         # nothing lost
+    for r in res.rows:
+        assert r["frames"] >= 64 or r["error_frames"] >= 1
+        assert 0 <= r["error_frames"] <= r["frames"]
+
+
 def test_binary_packed_factory_rejects_unsupported():
     code = QCBinaryCode.from_registry("J4_L24_Z96")
     scfg = _bin_cfg()
