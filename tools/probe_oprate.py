@@ -29,7 +29,6 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_oprate.py
 
 from __future__ import annotations
 
-import functools
 import json
 import pathlib
 import sys
