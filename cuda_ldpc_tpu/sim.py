@@ -925,6 +925,10 @@ def make_binary_packed_step(code: QCBinaryCode, sim: cfg.BinarySimConfig,
         false_f = (has_err & res.ok).astype(jnp.int32)
         alarm_f = (~has_err & ~res.ok).astype(jnp.int32)
         ones = jnp.ones_like(errbits)
+        # batch-global iteration count per frame, the reference's own
+        # iteraTime semantics (Simulation.cu:258); in packed mode the batch
+        # mixes SNR points, so high-SNR rows report the shared batch count —
+        # use sequential or stream engines for per-point avgIT
         iters = jnp.broadcast_to(res.iters.astype(jnp.int32), ones.shape)
         per_frame = jnp.stack([ones, frame_err, errbits, false_f, alarm_f,
                                iters], axis=1)            # [B, 6]
